@@ -1,0 +1,804 @@
+"""Persistent-batch transport engine: the TPU replacement for the per-photon
+random walk.
+
+The reference walks one photon at a time through generate -> forced first
+scattering -> {raytrace_to_tau, scattering} until escape (reference:
+src/run_simulation_mod.f90:69-120).  Here a dense SoA batch of photon lanes
+advances in lockstep through one jitted `cycle`:
+
+  refill  -- dead lanes are reborn from the remaining photon budget
+             (generate_photon, reference src/generate_photon.f90:3-341)
+  fly     -- a step-capped lax.while_loop advances every FLYING/FFS lane one
+             DDA cell-crossing per iteration (Amanatides-Woo traversal,
+             reference src/raytrace_car.f90:1425-1650), accumulating optical
+             depth with Voigt opacity and comoving frequency updates; escapes
+             are binned into Jout
+  scatter -- lanes that reached their tau target resonantly scatter: the
+             Voigt-conditional u_par sampler runs a few masked rejection
+             rounds (stragglers simply retry next cycle), then frequency
+             redistribution + dipole direction rotation (reference
+             src/scattering_car.f90:660-830, src/line_mod.f90:108-150)
+
+Forced first scattering is realized as a dedicated FFS lane phase that flies
+the birth ray to the edge (capped at tau ~ 25, where 1-exp(-tau) == 1 in f32),
+tallies the escaped fraction, then restarts the lane from its saved birth
+state with wgt *= 1 - exp(-tau0) (reference src/run_simulation_mod.f90:85-100).
+
+Everything is f32 on device; tallies are returned per chunk and accumulated
+in f64 on the host.  All mode dispatch (line type, boundary ops, uniform-T /
+static-medium fast paths) happens at trace time from the static config.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ResolvedConfig
+from ..grid.cartesian import GridDevice, GridMeta
+from ..physics import samplers
+from ..physics.voigt import voigt, voigt_profile_doublet
+
+# lane phases
+DEAD, FFS, FLYING, AT_SCATTER = 0, 1, 2, 3
+
+BIG = jnp.float32(3.0e38)
+FFS_TAU_CAP = 25.0            # 1 - exp(-25) == 1 in f32; exp(-25) ~ 1e-11
+TINY = jnp.float32(1e-30)
+
+
+class BatchState(NamedTuple):
+    phase: jnp.ndarray          # int32 (B,)
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    kx: jnp.ndarray
+    ky: jnp.ndarray
+    kz: jnp.ndarray
+    ic: jnp.ndarray             # int32 cell indices (0-based)
+    jc: jnp.ndarray
+    kc: jnp.ndarray
+    xfreq: jnp.ndarray
+    wgt: jnp.ndarray
+    tau_target: jnp.ndarray
+    tau_run: jnp.ndarray
+    # forced-first-scattering birth snapshot
+    bx: jnp.ndarray
+    by: jnp.ndarray
+    bz: jnp.ndarray
+    bic: jnp.ndarray
+    bjc: jnp.ndarray
+    bkc: jnp.ndarray
+    bxfreq: jnp.ndarray
+    bkx: jnp.ndarray
+    bky: jnp.ndarray
+    bkz: jnp.ndarray
+    # scalar bookkeeping
+    n_launched: jnp.ndarray     # int32 ()
+
+
+class Tallies(NamedTuple):
+    Jin: jnp.ndarray            # (nxfreq,) f32
+    Jout: jnp.ndarray
+    Jabs: jnp.ndarray
+    nscatt_gas: jnp.ndarray     # () f32
+    nscatt_dust: jnp.ndarray
+
+
+def init_state(batch: int) -> BatchState:
+    zf = jnp.zeros((batch,), jnp.float32)
+    zi = jnp.zeros((batch,), jnp.int32)
+    return BatchState(phase=zi, x=zf, y=zf, z=zf, kx=zf, ky=zf,
+                      kz=zf + 1.0, ic=zi, jc=zi, kc=zi, xfreq=zf,
+                      wgt=zf, tau_target=zf, tau_run=zf,
+                      bx=zf, by=zf, bz=zf, bic=zi, bjc=zi, bkc=zi,
+                      bxfreq=zf, bkx=zf, bky=zf, bkz=zf + 1.0,
+                      n_launched=jnp.zeros((1,), jnp.int32))
+
+
+def zero_tallies(nxfreq: int) -> Tallies:
+    z = jnp.zeros((nxfreq,), jnp.float32)
+    return Tallies(Jin=z, Jout=z, Jabs=z,
+                   nscatt_gas=jnp.float32(0.0), nscatt_dust=jnp.float32(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Medium access helpers (trace-time specialization on GridMeta fast paths)
+# ---------------------------------------------------------------------------
+
+def _flat(meta: GridMeta, i, j, k):
+    return (i * meta.ny + j) * meta.nz + k
+
+
+def _gather(arr, meta, i, j, k):
+    return jnp.take(arr.reshape(-1), _flat(meta, i, j, k), mode='clip')
+
+
+def cell_voigt_a(grid: GridDevice, meta: GridMeta, i, j, k):
+    if meta.uniform_temperature:
+        return jnp.float32(meta.voigt_a_ref)
+    return _gather(grid.voigt_a, meta, i, j, k)
+
+
+def cell_Dfreq(grid: GridDevice, meta: GridMeta, i, j, k):
+    if meta.uniform_temperature:
+        return jnp.float32(meta.Dfreq_ref)
+    return _gather(grid.Dfreq, meta, i, j, k)
+
+
+def cell_velocity_dot(grid: GridDevice, meta: GridMeta, i, j, k, kx, ky, kz):
+    """u . k in local thermal units; 0 on the static fast path."""
+    if meta.static_medium:
+        return jnp.zeros_like(kx)
+    return (_gather(grid.vfx, meta, i, j, k) * kx
+            + _gather(grid.vfy, meta, i, j, k) * ky
+            + _gather(grid.vfz, meta, i, j, k) * kz)
+
+
+def line_profile(cfg: ResolvedConfig, xfreq, a_cell, Dfreq_cell):
+    """Dimensionless opacity profile H_eff (calc_voigt dispatch,
+    reference src/line_mod.f90:38-106), specialized on line_type."""
+    line = cfg.line
+    lt = line.line_type
+    if lt in (1, 4, 8):
+        return voigt(xfreq, a_cell)
+    if lt == 2:
+        return voigt_profile_doublet(xfreq, a_cell, line.DnuHK_Hz / Dfreq_cell)
+    if lt in (5, 6):
+        out = voigt(xfreq, a_cell)
+        for iup in range(1, line.nup):
+            dnu = line.delE_Hz[iup] / Dfreq_cell
+            a_ratio = line.branches[iup].damping / line.branches[0].damping
+            f_ratio = line.f12[iup] / line.f12[0]
+            out = out + voigt(xfreq + dnu, a_cell * a_ratio) * f_ratio
+        return out
+    if lt == 7:
+        dx_HD = line.delta_nu_HD_Hz / Dfreq_cell
+        x_D = (xfreq - dx_HD) * line.ratio_Dfreq_HD
+        return (voigt(xfreq, a_cell) + cfg.par.D_to_H_ratio
+                * line.ratio_Dfreq_HD
+                * voigt(x_D, a_cell * line.ratio_voigta_HD))
+    raise NotImplementedError(f'line_type {lt}')
+
+
+# ---------------------------------------------------------------------------
+# Fly: batched Amanatides-Woo DDA with per-axis boundary ops
+# ---------------------------------------------------------------------------
+
+def make_fly(cfg: ResolvedConfig, meta: GridMeta):
+    par = cfg.par
+    nx, ny, nz = meta.nx, meta.ny, meta.nz
+    dx, dy, dz = meta.dx, meta.dy, meta.dz
+    xmn, ymn, zmn = meta.xmin, meta.ymin, meta.zmin
+    xmx = xmn + nx * dx
+    ymx = ymn + ny * dy
+    zmx = zmn + nz * dz
+
+    def face_dist(pos, k, idx, amin, d):
+        up = k > 0.0
+        face = amin + jnp.where(up, idx + 1, idx).astype(jnp.float32) * d
+        t = (face - pos) / jnp.where(jnp.abs(k) < 1e-12, jnp.float32(1.0), k)
+        return jnp.where(jnp.abs(k) < 1e-12, BIG, jnp.maximum(t, 0.0))
+
+    def cross_axis(bc, n, amin, amax, idx, pos, k, step):
+        """Apply boundary op after stepping index by `step`; returns
+        (idx, pos, k, escaped)."""
+        nidx = idx + step
+        out_lo = nidx < 0
+        out_hi = nidx >= n
+        out = jnp.logical_or(out_lo, out_hi)
+        if bc == 'escape':
+            return nidx, pos, k, out
+        if bc == 'periodic':
+            nidx = jnp.where(out_lo, n - 1, jnp.where(out_hi, 0, nidx))
+            pos = jnp.where(out_lo, jnp.float32(amax),
+                            jnp.where(out_hi, jnp.float32(amin), pos))
+            return nidx, pos, k, jnp.zeros_like(out)
+        if bc == 'reflect':
+            # reflect at the lower face only; upper face escapes
+            nidx = jnp.where(out_lo, 0, nidx)
+            k = jnp.where(out_lo, -k, k)
+            return nidx, pos, k, out_hi
+        raise ValueError(bc)
+
+    def total_opacity(grid, xfreq, i, j, k, a_cell, Dfreq_cell):
+        rk = _gather(grid.rhokap, meta, i, j, k)
+        H = line_profile(cfg, xfreq, a_cell, Dfreq_cell)
+        rho = rk * H
+        if meta.has_dust:
+            rho = rho + _gather(grid.rhokapD, meta, i, j, k)
+        return rho
+
+    def fly(state: BatchState, grid: GridDevice, tallies: Tallies,
+            max_steps: int):
+        """Advance all FFS/FLYING lanes until each finishes its flight or
+        max_steps cell-crossings elapse."""
+
+        def cond(carry):
+            s, t, n = carry
+            flying = jnp.logical_or(s.phase == FLYING, s.phase == FFS)
+            return jnp.logical_and(n < max_steps, jnp.any(flying))
+
+        def body(carry):
+            s, t, n = carry
+            is_ffs = s.phase == FFS
+            moving = jnp.logical_or(s.phase == FLYING, is_ffs)
+
+            a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
+            D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
+            rho = total_opacity(grid, s.xfreq, s.ic, s.jc, s.kc,
+                                a_cell, D_cell)
+
+            tx = face_dist(s.x, s.kx, s.ic, xmn, dx) if nx > 1 or meta.bc_x == 'escape' else BIG
+            ty = face_dist(s.y, s.ky, s.jc, ymn, dy) if ny > 1 or meta.bc_y == 'escape' else BIG
+            tz = face_dist(s.z, s.kz, s.kc, zmn, dz)
+            tx = jnp.broadcast_to(tx, s.x.shape)
+            ty = jnp.broadcast_to(ty, s.x.shape)
+            dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
+            axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
+
+            # FFS lanes fly to the edge: effective tau target is the cap
+            tgt = jnp.where(is_ffs, jnp.float32(FFS_TAU_CAP), s.tau_target)
+            dtau = dmin * rho
+            hit = s.tau_run + dtau >= tgt
+            d_hit = (tgt - s.tau_run) / jnp.maximum(rho, TINY)
+            d_adv = jnp.where(hit, d_hit, dmin)
+
+            xn = s.x + d_adv * s.kx
+            yn = s.y + d_adv * s.ky
+            zn = s.z + d_adv * s.kz
+            tau_n = jnp.where(hit, tgt, s.tau_run + dtau)
+
+            # --- face crossing with boundary ops (only when not hit)
+            stx = jnp.where(s.kx > 0, 1, -1)
+            sty = jnp.where(s.ky > 0, 1, -1)
+            stz = jnp.where(s.kz > 0, 1, -1)
+            ic2, xb, kx2, esc_x = cross_axis(meta.bc_x, nx, xmn, xmx,
+                                             s.ic, xn, s.kx, stx)
+            jc2, yb, ky2, esc_y = cross_axis(meta.bc_y, ny, ymn, ymx,
+                                             s.jc, yn, s.ky, sty)
+            kc2, zb, kz2, esc_z = cross_axis(meta.bc_z, nz, zmn, zmx,
+                                             s.kc, zn, s.kz, stz)
+            crossed = jnp.logical_and(moving, ~hit)
+            cx = jnp.logical_and(crossed, axis == 0)
+            cy = jnp.logical_and(crossed, axis == 1)
+            cz = jnp.logical_and(crossed, axis == 2)
+
+            ic_new = jnp.where(cx, ic2, s.ic)
+            jc_new = jnp.where(cy, jc2, s.jc)
+            kc_new = jnp.where(cz, kc2, s.kc)
+            x_new = jnp.where(cx, xb, xn)
+            y_new = jnp.where(cy, yb, yn)
+            z_new = jnp.where(cz, zb, zn)
+            kx_new = jnp.where(cx, kx2, s.kx)
+            ky_new = jnp.where(cy, ky2, s.ky)
+            kz_new = jnp.where(cz, kz2, s.kz)
+            escaped = jnp.logical_or(jnp.logical_or(
+                jnp.logical_and(cx, esc_x), jnp.logical_and(cy, esc_y)),
+                jnp.logical_and(cz, esc_z))
+
+            # comoving frequency update on cell change
+            # x' = (x + u1) * D1/D2 - u2      (raytrace_car.f90:1586-1589)
+            changed = jnp.logical_and(crossed, ~escaped)
+            if not meta.static_medium or not meta.uniform_temperature:
+                u1 = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                       s.kx, s.ky, s.kz)
+                u2 = cell_velocity_dot(grid, meta, ic_new, jc_new, kc_new,
+                                       kx_new, ky_new, kz_new)
+                D2 = cell_Dfreq(grid, meta, ic_new, jc_new, kc_new)
+                xf_new = (s.xfreq + u1) * D_cell / D2 - u2
+                xfreq_new = jnp.where(changed, xf_new, s.xfreq)
+            else:
+                xfreq_new = s.xfreq
+
+            # --- escape processing: lab-frame frequency, Jout bin
+            # (raytrace_car.f90:1613-1637)
+            esc_fly = jnp.logical_and(escaped, s.phase == FLYING)
+            esc_ffs = jnp.logical_and(escaped, is_ffs)
+            ffs_done = jnp.logical_or(esc_ffs, jnp.logical_and(hit, is_ffs))
+
+            u_esc = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                      s.kx, s.ky, s.kz)
+            xfreq_lab = (s.xfreq + u_esc) * (D_cell / meta.Dfreq_ref)
+            ix = jnp.floor((xfreq_lab - meta.xfreq_min)
+                           / meta.dxfreq).astype(jnp.int32)
+            in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
+
+            Jout = t.Jout.at[jnp.clip(ix, 0, meta.nxfreq - 1)].add(
+                jnp.where(jnp.logical_and(esc_fly, in_rng), s.wgt, 0.0))
+
+            # --- FFS completion: tally escaped fraction at BIRTH lab-frame
+            # frequency, restart lane from birth with reduced weight
+            # (run_simulation_mod.f90:85-100, :208-260)
+            tau0 = tau_n   # accumulated tau along birth ray (capped)
+            aD_b = cell_Dfreq(grid, meta, s.bic, s.bjc, s.bkc)
+            u_b = cell_velocity_dot(grid, meta, s.bic, s.bjc, s.bkc,
+                                    s.bkx, s.bky, s.bkz)
+            xfreq_lab_b = (s.bxfreq + u_b) * (aD_b / meta.Dfreq_ref)
+            ixb = jnp.floor((xfreq_lab_b - meta.xfreq_min)
+                            / meta.dxfreq).astype(jnp.int32)
+            inb = jnp.logical_and(ixb >= 0, ixb < meta.nxfreq)
+            wgt_esc = s.wgt * jnp.exp(-tau0)
+            Jout = Jout.at[jnp.clip(ixb, 0, meta.nxfreq - 1)].add(
+                jnp.where(jnp.logical_and(ffs_done, inb), wgt_esc, 0.0))
+
+            wgt1 = 1.0 - jnp.exp(-tau0)
+            # degenerate birth in vacuum: tau0 == 0 -> photon escapes freely
+            ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
+
+            phase_new = jnp.where(
+                esc_fly, DEAD,
+                jnp.where(ffs_vacuum, DEAD,
+                          jnp.where(ffs_done, FLYING,
+                                    jnp.where(jnp.logical_and(hit, ~is_ffs),
+                                              AT_SCATTER, s.phase))))
+
+            # restart FFS lanes from birth
+            def rb(cur, birth):
+                return jnp.where(ffs_done, birth, cur)
+
+            s2 = s._replace(
+                phase=jnp.where(moving, phase_new, s.phase),
+                x=rb(jnp.where(moving, x_new, s.x), s.bx),
+                y=rb(jnp.where(moving, y_new, s.y), s.by),
+                z=rb(jnp.where(moving, z_new, s.z), s.bz),
+                ic=rb(jnp.where(moving, ic_new, s.ic), s.bic),
+                jc=rb(jnp.where(moving, jc_new, s.jc), s.bjc),
+                kc=rb(jnp.where(moving, kc_new, s.kc), s.bkc),
+                kx=rb(jnp.where(moving, kx_new, s.kx), s.bkx),
+                ky=rb(jnp.where(moving, ky_new, s.ky), s.bky),
+                kz=rb(jnp.where(moving, kz_new, s.kz), s.bkz),
+                xfreq=rb(jnp.where(moving, xfreq_new, s.xfreq), s.bxfreq),
+                wgt=jnp.where(ffs_done, s.wgt * wgt1, s.wgt),
+                tau_run=jnp.where(ffs_done, 0.0,
+                                  jnp.where(moving, tau_n, s.tau_run)),
+                # tau_target for restarted lanes is set at refill time from a
+                # pre-drawn uniform: tau = -log(1 - xi * wgt1)
+                tau_target=jnp.where(
+                    ffs_done,
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                               * wgt1),
+                    s.tau_target),
+            )
+            return s2, t._replace(Jout=Jout), n + 1
+
+        state, tallies, _ = jax.lax.while_loop(
+            cond, body, (state, tallies, jnp.int32(0)))
+        return state, tallies
+
+    return fly
+
+
+# ---------------------------------------------------------------------------
+# Scatter: resonance (+ dust) event processing
+# ---------------------------------------------------------------------------
+
+def make_scatter(cfg: ResolvedConfig, meta: GridMeta):
+    par, line = cfg.par, cfg.line
+    lt = line.line_type
+
+    def rotate_direction(kx, ky, kz, cost, sint, cosp, sinp):
+        """New propagation vector from scattering angles about (kx,ky,kz)
+        (scattering_car.f90:794-809)."""
+        near_pole = jnp.abs(kz) >= 0.99999999999
+        kr = jnp.sqrt(jnp.maximum(kx * kx + ky * ky, TINY))
+        nkx = cost * kx + sint * (kz * kx * cosp - ky * sinp) / kr
+        nky = cost * ky + sint * (kz * ky * cosp + kx * sinp) / kr
+        nkz = cost * kz - sint * cosp * kr
+        pkx = sint * cosp
+        pky = sint * sinp
+        pkz = jnp.sign(kz) * cost
+        kx2 = jnp.where(near_pole, sint * cosp, nkx)
+        ky2 = jnp.where(near_pole, sint * sinp, nky)
+        kz2 = jnp.where(near_pole, jnp.where(kz > 0, cost, -cost), nkz)
+        # renormalize against f32 drift over ~1e4 scatterings
+        norm = jax.lax.rsqrt(kx2 * kx2 + ky2 * ky2 + kz2 * kz2)
+        return kx2 * norm, ky2 * norm, kz2 * norm
+
+    def local_xcrit(grid, s):
+        """Cell-local core-skip threshold (grid_mod_car.f90:1598-1629)."""
+        if not par.core_skip:
+            return jnp.zeros_like(s.x), jnp.zeros_like(s.x)
+        if par.core_skip_global:
+            return (jnp.full_like(s.x, meta.xcrit),
+                    jnp.full_like(s.x, meta.xcrit2))
+        fx = meta.xmin + s.ic.astype(jnp.float32) * meta.dx
+        fy = meta.ymin + s.jc.astype(jnp.float32) * meta.dy
+        fz = meta.zmin + s.kc.astype(jnp.float32) * meta.dz
+        dlx = jnp.minimum(s.x - fx, fx + meta.dx - s.x)
+        dly = jnp.minimum(s.y - fy, fy + meta.dy - s.y)
+        dlz = jnp.minimum(s.z - fz, fz + meta.dz - s.z)
+        dl = jnp.minimum(jnp.minimum(dlx, dly), dlz)
+        a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
+        rk = _gather(grid.rhokap, meta, s.ic, s.jc, s.kc)
+        atau = a_cell * rk * jnp.maximum(dl, 0.0)
+        xc = jnp.where(atau > 1.0, jnp.cbrt(atau) / 5.0, 0.0)
+        return xc, xc * xc
+
+    def redistribute(key, s, a_cell, D_cell, active):
+        """Line-type-dispatched frequency redistribution: returns
+        (accepted, uz, xfreq_atom, E1, dx_shift) where dx_shift is the
+        fluorescent/doublet frequency offset applied to the OUTGOING photon
+        frequency (do_resonance1..8, line_mod.f90:108-549)."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        if lt == 1:
+            env = samplers.vz_envelope(s.xfreq, a_cell)
+            acc = jnp.zeros_like(active)
+            uz = jnp.zeros_like(s.xfreq)
+            for i in range(par.scatter_rounds):
+                acc, uz = samplers.vz_round(jax.random.fold_in(k1, i),
+                                            env, acc, uz, active)
+            xfreq_atom = s.xfreq - uz
+            E1 = jnp.full_like(s.xfreq, line.E1)
+            return acc, uz, xfreq_atom, E1, jnp.zeros_like(s.xfreq)
+        if lt == 2:
+            # H/K doublet: choose upper state by profile weight
+            # (do_resonance2, line_mod.f90:147-204)
+            DnuHK = line.DnuHK_Hz / D_cell
+            pH = voigt(s.xfreq + DnuHK, a_cell) * (1.0 / 3.0)
+            pK = voigt(s.xfreq, a_cell) * (2.0 / 3.0)
+            pH = pH / (pH + pK)
+            isH = jax.random.uniform(k2, s.xfreq.shape) < pH
+            x0 = jnp.where(isH, s.xfreq + DnuHK, s.xfreq)
+            env = samplers.vz_envelope(x0, a_cell)
+            acc = jnp.zeros_like(active)
+            uz = jnp.zeros_like(s.xfreq)
+            for i in range(par.scatter_rounds):
+                acc, uz = samplers.vz_round(jax.random.fold_in(k1, i),
+                                            env, acc, uz, active)
+            xfreq_atom = s.xfreq - uz
+            qH = xfreq_atom + DnuHK
+            qK = xfreq_atom
+            E1 = (2.0 * qK * qH + qH * qH) / (qK * qK + 2.0 * qH * qH)
+            return acc, uz, xfreq_atom, E1, jnp.zeros_like(s.xfreq)
+        raise NotImplementedError(f'scatter for line_type {lt}')
+
+    def scatter(state: BatchState, grid: GridDevice, tallies: Tallies, key):
+        s, t = state, tallies
+        at_sc = s.phase == AT_SCATTER
+        a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
+        D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
+
+        keys = jax.random.split(key, 8)
+        # --- event split: dust vs resonance (scattering_car.f90:108-120)
+        if meta.has_dust:
+            rk = _gather(grid.rhokap, meta, s.ic, s.jc, s.kc)
+            rkD = _gather(grid.rhokapD, meta, s.ic, s.jc, s.kc)
+            H = line_profile(cfg, s.xfreq, a_cell, D_cell)
+            p_dust = rkD / jnp.maximum(rk * H + rkD, TINY)
+            is_dust = jnp.logical_and(
+                at_sc, jax.random.uniform(keys[6], s.x.shape) <= p_dust)
+        else:
+            is_dust = jnp.zeros_like(at_sc)
+        is_res = jnp.logical_and(at_sc, ~is_dust)
+
+        # ---------------- resonance branch ----------------
+        acc, uz, xfreq_atom, E1, dx_shift = redistribute(
+            keys[0], s, a_cell, D_cell, is_res)
+        do_res = jnp.logical_and(is_res, acc)
+
+        xi = jax.random.uniform(keys[1], (6,) + s.x.shape, jnp.float32)
+        xi = jnp.maximum(xi, 1e-12)
+        cost = samplers.rand_resonance_cost(xi[0], E1)
+        sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+        phi = 2.0 * math.pi * xi[1]
+        cosp = jnp.cos(phi)
+        sinp = jnp.sin(phi)
+
+        # perpendicular atom velocity; core-skip boost
+        # (scattering_car.f90:726-763)
+        xcrit, xcrit2 = local_xcrit(grid, s)
+        in_core = jnp.abs(s.xfreq) < xcrit
+        phi2 = 2.0 * math.pi * xi[2]
+        uxy = jnp.sqrt(jnp.where(in_core, xcrit2, 0.0) - jnp.log(xi[3]))
+        ux = uxy * jnp.cos(phi2)
+        uy = uxy * jnp.sin(phi2)
+        xfreq_new = xfreq_atom + uz * cost + (ux * cosp + uy * sinp) * sint
+
+        if par.recoil:
+            g_recoil = line.g_recoil0 / D_cell
+            xfreq_new = xfreq_new - g_recoil * (1.0 - cost)
+
+        kx_n, ky_n, kz_n = rotate_direction(s.kx, s.ky, s.kz,
+                                            cost, sint, cosp, sinp)
+
+        # ---------------- dust branch (scatter_dust_nostokes) -------------
+        if meta.has_dust:
+            absorbed = jnp.logical_and(
+                is_dust, xi[4] > par.albedo) if not par.use_reduced_wgt \
+                else jnp.zeros_like(is_dust)
+            dust_sc = jnp.logical_and(is_dust, ~absorbed)
+            cost_d = samplers.rand_henyey_greenstein(xi[5], par.hgg)
+            sint_d = jnp.sqrt(jnp.maximum(1.0 - cost_d * cost_d, 0.0))
+            kx_d, ky_d, kz_d = rotate_direction(s.kx, s.ky, s.kz, cost_d,
+                                                sint_d, cosp, sinp)
+            # Jabs tally at lab-frame frequency
+            u_loc = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                      s.kx, s.ky, s.kz)
+            xfreq_lab = (s.xfreq + u_loc) * (D_cell / meta.Dfreq_ref)
+            ixa = jnp.floor((xfreq_lab - meta.xfreq_min)
+                            / meta.dxfreq).astype(jnp.int32)
+            ina = jnp.logical_and(ixa >= 0, ixa < meta.nxfreq)
+            wab = s.wgt * (1.0 - par.albedo) if par.use_reduced_wgt else s.wgt
+            Jabs = t.Jabs.at[jnp.clip(ixa, 0, meta.nxfreq - 1)].add(
+                jnp.where(jnp.logical_and(jnp.logical_and(
+                    is_dust, jnp.logical_or(absorbed, par.use_reduced_wgt)),
+                    ina), wab, 0.0))
+            t = t._replace(Jabs=Jabs,
+                           nscatt_dust=t.nscatt_dust
+                           + jnp.sum(jnp.where(dust_sc, s.wgt, 0.0)))
+        else:
+            absorbed = jnp.zeros_like(is_dust)
+            dust_sc = jnp.zeros_like(is_dust)
+            kx_d = ky_d = kz_d = None
+
+        # ---------------- commit -----------------------------------------
+        done = jnp.logical_or(do_res, jnp.logical_or(dust_sc, absorbed))
+        tau_next = -jnp.log(jnp.maximum(
+            jax.random.uniform(keys[2], s.x.shape), 1e-12))
+
+        wgt_new = s.wgt
+        if meta.has_dust and par.use_reduced_wgt:
+            wgt_new = jnp.where(dust_sc, s.wgt * par.albedo, s.wgt)
+
+        def sel(res_v, dust_v, cur):
+            out = jnp.where(do_res, res_v, cur)
+            if dust_v is not None:
+                out = jnp.where(dust_sc, dust_v, out)
+            return out
+
+        s2 = s._replace(
+            phase=jnp.where(absorbed, DEAD,
+                            jnp.where(done, FLYING, s.phase)),
+            kx=sel(kx_n, kx_d, s.kx),
+            ky=sel(ky_n, ky_d, s.ky),
+            kz=sel(kz_n, kz_d, s.kz),
+            xfreq=jnp.where(do_res, xfreq_new, s.xfreq),
+            wgt=wgt_new,
+            tau_target=jnp.where(done, tau_next, s.tau_target),
+            tau_run=jnp.where(done, 0.0, s.tau_run),
+        )
+        t2 = t._replace(nscatt_gas=t.nscatt_gas
+                        + jnp.sum(jnp.where(do_res, s.wgt, 0.0)))
+        return s2, t2
+
+    return scatter
+
+
+# ---------------------------------------------------------------------------
+# Refill: photon generation into dead lanes
+# ---------------------------------------------------------------------------
+
+def make_refill(cfg: ResolvedConfig, meta: GridMeta):
+    par, line = cfg.par, cfg.line
+    sg = par.source_geometry.strip().lower()
+    st = par.spectral_type.strip().lower()
+
+    def gen_position(key, shape):
+        """Source position sampling (generate_photon.f90:33-341)."""
+        xi = jax.random.uniform(key, (4,) + shape, jnp.float32)
+        if sg in ('point', ''):
+            x = jnp.full(shape, par.xs_point, jnp.float32)
+            y = jnp.full(shape, par.ys_point, jnp.float32)
+            z = jnp.full(shape, par.zs_point, jnp.float32)
+            return x, y, z
+        if sg in ('uniform_sphere', 'sphere'):
+            rmax = par.source_rmax if par.source_rmax > 0 else par.rmax
+            rp = xi[0] ** (1.0 / 3.0) * rmax
+            cost = 2.0 * xi[1] - 1.0
+            sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+            phi = 2.0 * math.pi * xi[2]
+            return rp * sint * jnp.cos(phi), rp * sint * jnp.sin(phi), rp * cost
+        if sg == 'uniform':
+            return (meta.xmin + meta.xrange * xi[0],
+                    meta.ymin + meta.yrange * xi[1],
+                    meta.zmin + meta.zrange * xi[2])
+        if sg == 'uniform_xy':
+            return (meta.xmin + meta.xrange * xi[0],
+                    meta.ymin + meta.yrange * xi[1],
+                    jnp.zeros(shape, jnp.float32))
+        if sg == 'gaussian':
+            kz_ = jax.random.fold_in(key, 7)
+            g = jax.random.normal(kz_, shape, jnp.float32)
+            return (meta.xmin + meta.xrange * xi[0],
+                    meta.ymin + meta.yrange * xi[1],
+                    par.source_zscale / math.sqrt(2.0) * g)
+        if sg == 'exponential':
+            # truncated exponential in |z| up to zmax (rand_zexp)
+            zs = par.source_zscale
+            c = 1.0 - math.exp(-par.zmax / zs)
+            zmag = -zs * jnp.log1p(-xi[2] * c)
+            sign = jnp.where(xi[3] < 0.5, -1.0, 1.0)
+            return (meta.xmin + meta.xrange * xi[0],
+                    meta.ymin + meta.yrange * xi[1], sign * zmag)
+        raise NotImplementedError(f'source_geometry {sg!r}')
+
+    def refill(state: BatchState, grid: GridDevice, tallies: Tallies, key,
+               n_shard):
+        s, t = state, tallies
+        dead = s.phase == DEAD
+        remaining = (n_shard - s.n_launched)[0]
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        launch = jnp.logical_and(dead, rank < remaining)
+        n_new = jnp.sum(launch.astype(jnp.int32))
+
+        keys = jax.random.split(key, 6)
+        shape = s.x.shape
+        x, y, z = gen_position(keys[0], shape)
+        if par.xyz_symmetry and sg not in ('point', ''):
+            x, y, z = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+        # isotropic direction (setup_isotropic_injection)
+        xi = jax.random.uniform(keys[1], (2,) + shape, jnp.float32)
+        cost = 2.0 * xi[0] - 1.0
+        sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+        phi = 2.0 * math.pi * xi[1]
+        kx = sint * jnp.cos(phi)
+        ky = sint * jnp.sin(phi)
+        kz = cost
+
+        # cell indices with edge fixes (generate_photon.f90:381-390)
+        ic = jnp.floor((x - meta.xmin) / meta.dx).astype(jnp.int32)
+        jc = jnp.floor((y - meta.ymin) / meta.dy).astype(jnp.int32)
+        kc = jnp.floor((z - meta.zmin) / meta.dz).astype(jnp.int32)
+        ic = jnp.clip(ic, 0, meta.nx - 1)
+        jc = jnp.clip(jc, 0, meta.ny - 1)
+        kc = jnp.clip(kc, 0, meta.nz - 1)
+
+        D_loc = cell_Dfreq(grid, meta, ic, jc, kc)
+        a_loc = cell_voigt_a(grid, meta, ic, jc, kc)
+
+        # frequency (spectral samplers, generate_photon.f90:241-305)
+        xfreq = jnp.full(shape, par.xfreq0, jnp.float32)
+        if lt_needs_branch_init(line.line_type):
+            xfreq = xfreq + branch_init_shift(cfg, keys[5], shape, D_loc)
+        if st == 'voigt':
+            xfreq = xfreq + samplers.rand_voigt_x(keys[2], a_loc, shape)
+        elif st == 'monochromatic':
+            pass
+        elif st == 'gaussian':
+            gsig = (par.gaussian_FWHM_vel / 2.3548200450309493
+                    if par.gaussian_FWHM_vel > 0 else par.gaussian_sigma_vel)
+            g = jax.random.normal(keys[2], shape, jnp.float32)
+            xfreq = (xfreq + g * (gsig / cfg.vtherm)) / (D_loc / meta.Dfreq_ref)
+        elif st == 'continuum':
+            u = jax.random.uniform(keys[2], shape, jnp.float32)
+            xfreq = (meta.xfreq_min + u * (meta.xfreq_max - meta.xfreq_min)) \
+                / (D_loc / meta.Dfreq_ref)
+        else:
+            raise NotImplementedError(f'spectral_type {st!r}')
+
+        # lab-frame source -> comoving shift (generate_photon.f90:307-310)
+        u1 = cell_velocity_dot(grid, meta, ic, jc, kc, kx, ky, kz)
+        if not par.comoving_source:
+            xfreq = xfreq - u1
+        # Jin tally in lab frame (generate_photon.f90:313-325)
+        if par.save_Jin:
+            xfreq_lab = (xfreq + u1) * (D_loc / meta.Dfreq_ref)
+            ixj = jnp.floor((xfreq_lab - meta.xfreq_min)
+                            / meta.dxfreq).astype(jnp.int32)
+            inj = jnp.logical_and(ixj >= 0, ixj < meta.nxfreq)
+            Jin = t.Jin.at[jnp.clip(ixj, 0, meta.nxfreq - 1)].add(
+                jnp.where(jnp.logical_and(launch, inj), 1.0, 0.0))
+            t = t._replace(Jin=Jin)
+
+        # the FFS restart draws tau = -log(1 - xi*wgt1); stash xi in
+        # tau_target until the FFS flight completes
+        xi_ffs = jnp.maximum(jax.random.uniform(keys[3], shape), 1e-12)
+
+        def w(new, cur):
+            return jnp.where(launch, new, cur)
+
+        s2 = s._replace(
+            phase=w(jnp.full(shape, FFS, jnp.int32), s.phase),
+            x=w(x, s.x), y=w(y, s.y), z=w(z, s.z),
+            kx=w(kx, s.kx), ky=w(ky, s.ky), kz=w(kz, s.kz),
+            ic=w(ic, s.ic), jc=w(jc, s.jc), kc=w(kc, s.kc),
+            xfreq=w(xfreq, s.xfreq),
+            wgt=w(jnp.ones(shape, jnp.float32), s.wgt),
+            tau_target=w(xi_ffs, s.tau_target),
+            tau_run=w(jnp.zeros(shape, jnp.float32), s.tau_run),
+            bx=w(x, s.bx), by=w(y, s.by), bz=w(z, s.bz),
+            bic=w(ic, s.bic), bjc=w(jc, s.bjc), bkc=w(kc, s.bkc),
+            bxfreq=w(xfreq, s.bxfreq),
+            bkx=w(kx, s.bkx), bky=w(ky, s.bky), bkz=w(kz, s.bkz),
+            n_launched=s.n_launched + n_new)
+        return s2, t
+
+    return refill
+
+
+def lt_needs_branch_init(lt: int) -> bool:
+    return lt in (2, 3, 4, 5, 6)
+
+
+def branch_init_shift(cfg, key, shape, D_loc):
+    """Initial-frequency branch selection for multi-level lines
+    (generate_photon.f90:160-240)."""
+    line = cfg.line
+    lt = line.line_type
+    xi = jax.random.uniform(key, (2,) + shape, jnp.float32)
+    if lt == 2:
+        DnuHK = line.DnuHK_Hz / D_loc
+        return jnp.where(xi[0] <= 1.0 / 3.0, -DnuHK, 0.0)
+    if lt == 4:
+        br = line.branches[0]
+        # categorical over P_down
+        cum = 0.0
+        shift = jnp.zeros(shape, jnp.float32)
+        chosen = jnp.zeros(shape, bool)
+        for idn in range(br.ndown):
+            cum += br.P_down[idn]
+            hit = jnp.logical_and(~chosen, xi[0] < cum)
+            shift = jnp.where(hit, -br.Elow_Hz[idn] / D_loc, shift)
+            chosen = jnp.logical_or(chosen, hit)
+        return shift
+    if lt in (5, 6):
+        # select upward by f12, then downward branch
+        ftot = sum(line.f12[:line.nup])
+        shift = jnp.zeros(shape, jnp.float32)
+        chosen_up = jnp.zeros(shape, bool)
+        cumf = 0.0
+        for iup in range(line.nup):
+            cumf += line.f12[iup] / ftot
+            hit_up = jnp.logical_and(~chosen_up, xi[0] < cumf)
+            chosen_up = jnp.logical_or(chosen_up, hit_up)
+            sh_up = -line.delE_Hz[iup] / D_loc if iup > 0 else 0.0
+            br = line.branches[iup] if iup < len(line.branches) else None
+            sh_dn = jnp.zeros(shape, jnp.float32)
+            if br is not None and br.ndown > 1:
+                cum = 0.0
+                chosen_dn = jnp.zeros(shape, bool)
+                for idn in range(br.ndown):
+                    cum += br.P_down[idn]
+                    hd = jnp.logical_and(~chosen_dn, xi[1] < cum)
+                    sh_dn = jnp.where(hd, -br.Elow_Hz[idn] / D_loc, sh_dn)
+                    chosen_dn = jnp.logical_or(chosen_dn, hd)
+            shift = jnp.where(hit_up, sh_up + sh_dn, shift)
+        return shift
+    return jnp.zeros(shape, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Cycle and chunk
+# ---------------------------------------------------------------------------
+
+def make_cycle(cfg: ResolvedConfig, meta: GridMeta):
+    fly = make_fly(cfg, meta)
+    scatter = make_scatter(cfg, meta)
+    refill = make_refill(cfg, meta)
+    fly_substeps = cfg.par.fly_substeps
+
+    def cycle(state, grid, tallies, key, n_shard):
+        k1, k2 = jax.random.split(key)
+        state, tallies = refill(state, grid, tallies, k1, n_shard)
+        state, tallies = fly(state, grid, tallies, fly_substeps)
+        state, tallies = scatter(state, grid, tallies, k2)
+        return state, tallies
+
+    return cycle
+
+
+def make_chunk(cfg: ResolvedConfig, meta: GridMeta):
+    """chunk(state, grid, key, n_shard) -> (state, tallies, alive, launched)
+    running `chunk_cycles` cycles inside one jit.  n_shard is a traced (1,)
+    int32 (per-device photon budget) so one trace serves all shards."""
+    cycle = make_cycle(cfg, meta)
+    n_cycles = cfg.par.chunk_cycles
+
+    def chunk(state, grid, key, n_shard):
+        tallies = zero_tallies(meta.nxfreq)
+
+        def body(i, carry):
+            st, tl = carry
+            return cycle(st, grid, tl, jax.random.fold_in(key, i), n_shard)
+
+        state, tallies = jax.lax.fori_loop(0, n_cycles, body, (state, tallies))
+        alive = jnp.sum((state.phase != DEAD).astype(jnp.int32))
+        return state, tallies, alive, state.n_launched[0]
+
+    return chunk
