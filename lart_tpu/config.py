@@ -252,9 +252,10 @@ class Params:
 
     # --- TPU batch-engine knobs (new; no reference counterpart)
     batch_size: int = 1 << 17       # photon lanes per device
-    fly_substeps: int = 16          # DDA cell-steps per jitted cycle
-    scatter_rounds: int = 6         # rejection rounds per cycle
+    fly_substeps: int = 8           # DDA cell-steps per jitted cycle
+    scatter_rounds: int = 4         # rejection rounds per cycle
     chunk_cycles: int = 64          # cycles per host-side chunk call
+    refill_every: int = 4           # refill dead lanes every N cycles
     n_devices: int = 0              # 0 = all visible devices
     precision: str = 'f32'
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import Params, ResolvedConfig
+from .utils.cache import enable_compilation_cache
 from .grid.cartesian import build_cartesian
 from .parallel import mesh as pmesh
 from .tally import RunResult, normalize
@@ -36,6 +37,7 @@ def run(par: Params, *, seed: Optional[int] = None,
     seed     : RNG seed (defaults to par.iseed)
     progress : optional callback(launched, nphotons, alive)
     """
+    enable_compilation_cache()
     cfg = par.resolve()
     meta, grid = build_cartesian(cfg)
 

@@ -216,15 +216,20 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
     def fly(state: BatchState, grid: GridDevice, tallies: Tallies,
             max_steps: int):
         """Advance all FFS/FLYING lanes until each finishes its flight or
-        max_steps cell-crossings elapse."""
+        max_steps cell-crossings elapse.
+
+        Escape and FFS tallies are recorded per lane (each fires at most once
+        per fly call) and flushed with two scatter-adds after the loop --
+        scatter ops inside the hot while_loop serialize badly on TPU."""
 
         def cond(carry):
-            s, t, n = carry
+            s, rec, n = carry
             flying = jnp.logical_or(s.phase == FLYING, s.phase == FFS)
             return jnp.logical_and(n < max_steps, jnp.any(flying))
 
         def body(carry):
-            s, t, n = carry
+            s, rec, n = carry
+            esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
             is_ffs = s.phase == FFS
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
 
@@ -308,8 +313,10 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
                            / meta.dxfreq).astype(jnp.int32)
             in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
 
-            Jout = t.Jout.at[jnp.clip(ix, 0, meta.nxfreq - 1)].add(
-                jnp.where(jnp.logical_and(esc_fly, in_rng), s.wgt, 0.0))
+            rec_e = jnp.logical_and(esc_fly, in_rng)
+            esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
+                                 esc_ix_r)
+            esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
 
             # --- FFS completion: tally escaped fraction at BIRTH lab-frame
             # frequency, restart lane from birth with reduced weight
@@ -323,8 +330,10 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
                             / meta.dxfreq).astype(jnp.int32)
             inb = jnp.logical_and(ixb >= 0, ixb < meta.nxfreq)
             wgt_esc = s.wgt * jnp.exp(-tau0)
-            Jout = Jout.at[jnp.clip(ixb, 0, meta.nxfreq - 1)].add(
-                jnp.where(jnp.logical_and(ffs_done, inb), wgt_esc, 0.0))
+            rec_f = jnp.logical_and(ffs_done, inb)
+            ffs_ix_r = jnp.where(rec_f, jnp.clip(ixb, 0, meta.nxfreq - 1),
+                                 ffs_ix_r)
+            ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
 
             wgt1 = 1.0 - jnp.exp(-tau0)
             # degenerate birth in vacuum: tau0 == 0 -> photon escapes freely
@@ -364,11 +373,16 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
                                * wgt1),
                     s.tau_target),
             )
-            return s2, t._replace(Jout=Jout), n + 1
+            return s2, (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r), n + 1
 
-        state, tallies, _ = jax.lax.while_loop(
-            cond, body, (state, tallies, jnp.int32(0)))
-        return state, tallies
+        B = state.x.shape[0]
+        rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+        state, rec, _ = jax.lax.while_loop(
+            cond, body, (state, rec0, jnp.int32(0)))
+        esc_ix, esc_w, ffs_ix, ffs_w = rec
+        Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
+        return state, tallies._replace(Jout=Jout)
 
     return fly
 
@@ -773,9 +787,10 @@ def make_cycle(cfg: ResolvedConfig, meta: GridMeta):
     refill = make_refill(cfg, meta)
     fly_substeps = cfg.par.fly_substeps
 
-    def cycle(state, grid, tallies, key, n_shard):
+    def cycle(state, grid, tallies, key, n_shard, do_refill=True):
         k1, k2 = jax.random.split(key)
-        state, tallies = refill(state, grid, tallies, k1, n_shard)
+        if do_refill:
+            state, tallies = refill(state, grid, tallies, k1, n_shard)
         state, tallies = fly(state, grid, tallies, fly_substeps)
         state, tallies = scatter(state, grid, tallies, k2)
         return state, tallies
@@ -787,17 +802,31 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta):
     """chunk(state, grid, key, n_shard) -> (state, tallies, alive, launched)
     running `chunk_cycles` cycles inside one jit.  n_shard is a traced (1,)
     int32 (per-device photon budget) so one trace serves all shards."""
-    cycle = make_cycle(cfg, meta)
+    fly = make_fly(cfg, meta)
+    scatter = make_scatter(cfg, meta)
+    refill = make_refill(cfg, meta)
     n_cycles = cfg.par.chunk_cycles
+    refill_every = max(1, cfg.par.refill_every)
 
     def chunk(state, grid, key, n_shard):
         tallies = zero_tallies(meta.nxfreq)
 
         def body(i, carry):
             st, tl = carry
-            return cycle(st, grid, tl, jax.random.fold_in(key, i), n_shard)
+            k = jax.random.fold_in(key, i)
+            k1, k2 = jax.random.split(k)
+            # refill only every refill_every-th cycle (dead lanes wait at
+            # most refill_every cycles; refill is ~20% of cycle cost)
+            st, tl = jax.lax.cond(
+                i % refill_every == 0,
+                lambda st, tl: refill(st, grid, tl, k1, n_shard),
+                lambda st, tl: (st, tl), st, tl)
+            st, tl = fly(st, grid, tl, cfg.par.fly_substeps)
+            st, tl = scatter(st, grid, tl, k2)
+            return st, tl
 
-        state, tallies = jax.lax.fori_loop(0, n_cycles, body, (state, tallies))
+        state, tallies = jax.lax.fori_loop(0, n_cycles, body,
+                                           (state, tallies))
         alive = jnp.sum((state.phase != DEAD).astype(jnp.int32))
         return state, tallies, alive, state.n_launched[0]
 
