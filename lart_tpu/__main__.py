@@ -1,0 +1,43 @@
+"""CLI: python -m lart_tpu input.in  (same usage as the reference LaRT.x)."""
+
+import sys
+import time
+
+from .config import Params
+from . import driver
+from .io.writer import write_output, output_filename
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m lart_tpu <input.in> [output.h5]")
+        return 1
+    par = Params.from_namelist(argv[0])
+    if not par.out_file.strip():
+        base = argv[0]
+        for ext in ('.in', '.txt'):
+            if base.endswith(ext):
+                base = base[:-len(ext)]
+        par.out_file = (argv[1] if len(argv) > 1 else base + '.h5')
+
+    t_last = [time.time()]
+
+    def progress(launched, nphotons, alive):
+        now = time.time()
+        if now - t_last[0] > 10.0:
+            print(f"{launched:.5e} photons launched, {alive} lanes alive",
+                  flush=True)
+            t_last[0] = now
+
+    res = driver.run(par, progress=progress)
+    print(f"Average Number of scattering : {res.nscatt_tot:.4e}")
+    print(f"Total Execution Time : {res.exetime_s/60.0:.3f} mins")
+    import jax
+    fn = write_output(par.out_file, res, nproc=len(jax.devices()))
+    print(f"output written: {fn}")
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""Output reader: the analogue of the reference's python/read_lart.py.
+
+Reads LaRT-schema HDF5 outputs (written by this framework or by the
+reference Fortran code) into a simple object with the same field names the
+reference reader exposes (reference: python/read_lart.py:54-400).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+import h5py
+
+
+@dataclasses.dataclass
+class LartOutput:
+    filename: str
+    header: Dict
+    xfreq: np.ndarray
+    velocity: np.ndarray
+    wavelength: np.ndarray
+    Jout: np.ndarray
+    Jin: Optional[np.ndarray] = None
+    Jabs: Optional[np.ndarray] = None
+    sections: Optional[Dict] = None
+
+    @property
+    def nphotons(self):
+        return self.header.get('nphotons')
+
+    @property
+    def nscatt_tot(self):
+        return self.header.get('Nsc_tot')
+
+    def summary(self) -> str:
+        h = self.header
+        lines = [f"file      : {self.filename}",
+                 f"nphotons  : {h.get('nphotons'):.4g}",
+                 f"taumax    : {h.get('taumax'):.4g}",
+                 f"temp      : {h.get('temp'):.4g} K",
+                 f"<N_scatt> : {h.get('Nsc_tot'):.5g}",
+                 f"exetime   : {h.get('ExeTime'):.3f} min"]
+        return "\n".join(lines)
+
+
+def read_lart(path: str) -> LartOutput:
+    with h5py.File(path, 'r') as f:
+        g = f['Spectrum']
+        header = {k: (v.item() if hasattr(v, 'item') else v)
+                  for k, v in g.attrs.items()}
+        out = LartOutput(
+            filename=path, header=header,
+            xfreq=np.asarray(g['Xfreq'], np.float64),
+            velocity=np.asarray(g['velocity'], np.float64),
+            wavelength=np.asarray(g['wavelength'], np.float64),
+            Jout=np.asarray(g['Jout'], np.float64),
+            Jin=np.asarray(g['Jin'], np.float64) if 'Jin' in g else None,
+            Jabs=np.asarray(g['Jabs'], np.float64) if 'Jabs' in g else None,
+            sections={name: {k: (v.item() if hasattr(v, 'item') else v)
+                             for k, v in f[name].attrs.items()}
+                      for name in f.keys()},
+        )
+    return out

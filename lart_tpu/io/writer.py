@@ -1,0 +1,145 @@
+"""HDF5 output writer with the reference section schema.
+
+Layout matches lart_io.py's description of what the Fortran iofile_mod
+produces (reference: python/lart_io.py:10-30, src/write_output_rect.f90:
+424-520): each section is a group in insertion order; table sections store
+one dataset per column; keywords are group attributes.  Files written here
+are readable by the reference's python/read_lart.py and python/lart_io.py.
+
+Merge mode ("resume"): when out_merge is set and the file exists, spectra
+are photon-count-weighted averaged with the previous contents
+(reference: src/write_output_rect.f90:74-241).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+import numpy as np
+import h5py
+
+from ..tally import RunResult
+
+
+def _put_attrs(g, kv):
+    for k, v in kv.items():
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            g.attrs[k] = np.int32(1 if v else 0)
+        elif isinstance(v, str):
+            g.attrs[k] = v
+        elif isinstance(v, int):
+            g.attrs[k] = np.int64(v)
+        else:
+            g.attrs[k] = np.float64(v)
+
+
+def write_output(filename: str, res: RunResult, nproc: int = 1) -> str:
+    """Write (or merge into) a LaRT-schema HDF5 output file."""
+    par = res.cfg.par
+    meta = res.meta
+
+    merged = None
+    if par.out_merge and os.path.exists(filename):
+        merged = _read_for_merge(filename)
+        if par.save_backup:
+            shutil.copy2(filename, _backup_name(filename))
+
+    nph = float(res.nphotons)
+    exetime_min = res.exetime_s / 60.0
+    Jout, Jin, Jabs = res.Jout, res.Jin, res.Jabs
+    nsc_gas, nsc_dust = res.nscatt_gas, res.nscatt_dust
+    if merged is not None:
+        nph1 = merged['nphotons']
+        tot = nph1 + nph
+        w1, w2 = nph1 / tot, nph / tot
+        Jout = merged['Jout'] * w1 + Jout * w2
+        if Jin is not None and merged.get('Jin') is not None:
+            Jin = merged['Jin'] * w1 + Jin * w2
+        if Jabs is not None and merged.get('Jabs') is not None:
+            Jabs = merged['Jabs'] * w1 + Jabs * w2
+        nsc_gas = merged['Nsc_gas'] * w1 + nsc_gas * w2
+        nsc_dust = merged['Nsc_dust'] * w1 + nsc_dust * w2
+        exetime_min = exetime_min + merged['ExeTime']
+        nph = tot
+
+    with h5py.File(filename, 'w') as f:
+        g = f.create_group('Spectrum')
+        bp = np.float32 if par.out_bitpix == -32 else np.float64
+        g.create_dataset('Xfreq', data=res.xfreq.astype(bp))
+        g.create_dataset('velocity', data=res.velocity.astype(bp))
+        g.create_dataset('wavelength', data=res.wavelength.astype(np.float64))
+        g.create_dataset('Jout', data=np.asarray(Jout, bp))
+        if par.save_Jabs and Jabs is not None:
+            g.create_dataset('Jabs', data=np.asarray(Jabs, bp))
+        if par.save_Jin and Jin is not None:
+            g.create_dataset('Jin', data=np.asarray(Jin, bp))
+
+        _put_attrs(g, {
+            'ExeTime': exetime_min,
+            'Nprocs': nproc,
+            'recoil': par.recoil,
+            'coreskip': par.core_skip,
+            'xyz_sym': par.xyz_symmetry,
+            'xy_per': par.xy_periodic,
+            'save_all': par.save_all,
+            'save_Jin': par.save_Jin,
+            'save_Jab': par.save_Jabs,
+            'nphotons': nph,
+            'taumax': meta.taumax,
+            'tauhomo': meta.tauhomo,
+            'Ngasmax': meta.N_gasmax,
+            'Ngashomo': meta.N_gashomo,
+            'temp': par.temperature,
+            'Vexp': par.Vexp,
+            'DGR': par.DGR,
+            'atau3': meta.atau3,
+            'voigta': res.cfg.voigt_a_ref,
+            'Xfreq1': meta.xfreq_min,
+            'Xfreq2': meta.xfreq_max,
+            'Dxfreq': meta.dxfreq,
+            'Dwave': meta.dwave,
+            'I_unit': par.intensity_unit,
+            'Dfreq': meta.Dfreq_ref,
+            'Nsc_dust': nsc_dust,
+            'Nsc_gas': nsc_gas,
+            'Nsc_tot': nsc_gas + nsc_dust,
+            'nx': meta.nx, 'ny': meta.ny, 'nz': meta.nz,
+            'xmax': par.xmax, 'ymax': par.ymax, 'zmax': par.zmax,
+            'EXTNAME': 'Spectrum',
+            'calc_P': False, 'calc_Pnew': False, 'calc_J': False,
+        })
+    return filename
+
+
+def _read_for_merge(filename: str) -> dict:
+    with h5py.File(filename, 'r') as f:
+        g = f['Spectrum']
+        out = {
+            'nphotons': float(g.attrs['nphotons']),
+            'Nsc_gas': float(g.attrs['Nsc_gas']),
+            'Nsc_dust': float(g.attrs['Nsc_dust']),
+            'ExeTime': float(g.attrs['ExeTime']),
+            'Jout': np.asarray(g['Jout'], np.float64),
+        }
+        out['Jin'] = np.asarray(g['Jin'], np.float64) if 'Jin' in g else None
+        out['Jabs'] = np.asarray(g['Jabs'], np.float64) if 'Jabs' in g else None
+    return out
+
+
+def _backup_name(filename: str) -> str:
+    base, ext = os.path.splitext(filename)
+    i = 1
+    while os.path.exists(f'{base}_backup{i}{ext}'):
+        i += 1
+    return f'{base}_backup{i}{ext}'
+
+
+def output_filename(par) -> str:
+    if par.out_file.strip():
+        return par.out_file
+    base = par.base_name.strip() or 'lart_output'
+    return base + '.h5'
