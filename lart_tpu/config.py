@@ -249,6 +249,13 @@ class Params:
     inside_x: float = 0.0
     inside_y: float = 0.0
     inside_z: float = 0.0
+    phase_angle: Tuple[float, ...] = ()
+    inclination_angle: Tuple[float, ...] = ()
+    position_angle: Tuple[float, ...] = ()
+    rotation_center_x: float = NAN
+    rotation_center_y: float = NAN
+    rotation_center_z: float = NAN
+    save_direc0: bool = False
 
     # --- TPU batch-engine knobs (new; no reference counterpart)
     batch_size: int = 1 << 17       # photon lanes per device

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from .config import Params, ResolvedConfig
 from .utils.cache import enable_compilation_cache
 from .grid.cartesian import build_cartesian
+from .instruments.observer import build_observers
 from .parallel import mesh as pmesh
 from .tally import RunResult, normalize
 from .transport import engine
@@ -40,6 +41,8 @@ def run(par: Params, *, seed: Optional[int] = None,
     enable_compilation_cache()
     cfg = par.resolve()
     meta, grid = build_cartesian(cfg)
+    obs = build_observers(cfg)
+    obs_meta, odev = obs if obs is not None else (None, None)
 
     m = pmesh.make_mesh(par.n_devices)
     n_dev = len(m.devices.ravel())
@@ -55,7 +58,8 @@ def run(par: Params, *, seed: Optional[int] = None,
         jnp.asarray(budgets, jnp.int32),
         jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec('data')))
 
-    chunk = pmesh.sharded_chunk(engine.make_chunk(cfg, meta), m)
+    odev = pmesh.device_put_replicated(odev, m) if odev is not None else None
+    chunk = pmesh.sharded_chunk(engine.make_chunk(cfg, meta, obs_meta), m)
 
     key0 = jax.random.PRNGKey(seed if seed is not None else par.iseed)
 
@@ -66,27 +70,79 @@ def run(par: Params, *, seed: Optional[int] = None,
         'nscatt_gas': 0.0,
         'nscatt_dust': 0.0,
     }
+    if obs_meta is not None:
+        cube_n = obs_meta.nobs * meta.nxfreq * obs_meta.nxim * obs_meta.nyim
+        acc['peel_scatt'] = np.zeros(cube_n, np.float64)
+        acc['peel_direc'] = np.zeros(cube_n, np.float64)
+        if par.use_stokes:
+            for k in ('peel_I', 'peel_Q', 'peel_U', 'peel_V'):
+                acc[k] = np.zeros(cube_n, np.float64)
 
     t0 = time.time()
     nphotons = int(np.sum(budgets))
+    cur_B = B
+    min_B = 4096
     for ci in range(max_chunks):
         key = jax.random.fold_in(key0, ci)
-        state, tallies, alive, launched = chunk(state, grid, key, n_shard)
+        state, tallies, alive, launched = chunk(state, grid, key, n_shard,
+                                                odev)
         tl = jax.tree_util.tree_map(np.asarray, tallies)
         acc['Jin'] += tl.Jin
         acc['Jout'] += tl.Jout
         acc['Jabs'] += tl.Jabs
         acc['nscatt_gas'] += float(tl.nscatt_gas)
         acc['nscatt_dust'] += float(tl.nscatt_dust)
+        if obs_meta is not None:
+            acc['peel_scatt'] += tl.peel.scatt
+            acc['peel_direc'] += tl.peel.direc
+            if par.use_stokes:
+                acc['peel_I'] += tl.peel.I
+                acc['peel_Q'] += tl.peel.Q
+                acc['peel_U'] += tl.peel.U
+                acc['peel_V'] += tl.peel.V
         alive = int(alive)
         launched = int(launched)
         if progress is not None:
             progress(launched, nphotons, alive)
         if launched >= nphotons and alive == 0:
             break
+        # --- tail-phase batch shrinking: once the photon budget is
+        # exhausted, the batch only drains; compact the surviving lanes
+        # into a 4x smaller batch so the tail does not run at full-batch
+        # cost (the longest-lived photon takes ~ln(B) * <N_scatt> cycles).
+        if (launched >= nphotons and cur_B > min_B
+                and alive <= (cur_B // 4) * n_dev):
+            shrunk = _compact_shrink(state, n_dev, max(cur_B // 4, min_B), m)
+            if shrunk is not None:
+                state = shrunk
+                cur_B = max(cur_B // 4, min_B)
     exetime = time.time() - t0
 
-    return normalize(cfg, meta, acc, nphotons, exetime_s=exetime)
+    return normalize(cfg, meta, acc, nphotons, exetime_s=exetime,
+                     obs_meta=obs_meta)
+
+
+def _compact_shrink(state, n_dev, B_new, mesh):
+    """Compact alive lanes to the front of each device shard and truncate
+    to B_new lanes/device.  Returns None if any shard still has more than
+    B_new alive lanes (caller keeps the current size)."""
+    host = jax.tree_util.tree_map(np.asarray, state)
+    phase = host.phase.reshape(n_dev, -1)
+    dead = (phase == engine.DEAD)
+    if np.any((~dead).sum(axis=1) > B_new):
+        return None
+    order = np.argsort(dead, axis=1, kind='stable')[:, :B_new]
+
+    def pick(leaf):
+        leaf = np.asarray(leaf)
+        if leaf.ndim == 1 and leaf.shape[0] == phase.size:
+            return np.take_along_axis(
+                leaf.reshape(n_dev, -1), order, axis=1).reshape(-1)
+        return leaf   # (n_dev,) bookkeeping arrays
+
+    new_state = jax.tree_util.tree_map(pick, host)
+    return pmesh.device_put_sharded_state(
+        jax.tree_util.tree_map(jnp.asarray, new_state), mesh)
 
 
 def run_namelist(path: str, **kw) -> RunResult:

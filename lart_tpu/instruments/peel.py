@@ -1,0 +1,358 @@
+"""Peeling-off (next-event estimation) to external observers.
+
+Rebuilds the peelingoff_rect family (reference: src/peelingoff_rect.f90:
+24-690): at emission and at every scattering event, for each observer the
+escape probability along the sightline is computed (tau-to-edge raytrace with
+comoving frequency updates), weighted by the phase function / redistribution
+probability evaluated for the observer direction, and deposited into
+(nxfreq, nxim, nyim) spectral image cubes (TAN projection).
+
+TPU design: observers become a leading broadcast axis (nobs, B); the
+tau-to-edge integration is one lockstep DDA while_loop over all
+(observer, lane) pairs, early-exiting at tau > 745.2 (raytrace_car.f90:106).
+Deposits are flat scatter-adds into the cube.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ResolvedConfig
+from ..grid.cartesian import GridDevice, GridMeta
+from .observer import ObserverSetMeta, ObserverDevice
+
+RAD2DEG = 180.0 / math.pi
+TAU_HUGE = 745.2
+BIG = jnp.float32(3.0e38)
+TINY = jnp.float32(1e-30)
+FOURPI = 4.0 * math.pi
+
+
+class PeelCubes(NamedTuple):
+    """Flat (nobs*nxfreq*nxim*nyim,) accumulation cubes (f32)."""
+    scatt: jnp.ndarray
+    direc: jnp.ndarray
+    I: jnp.ndarray          # None unless use_stokes
+    Q: jnp.ndarray
+    U: jnp.ndarray
+    V: jnp.ndarray
+
+
+def zero_cubes(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta
+               ) -> PeelCubes:
+    n = obs.nobs * meta.nxfreq * obs.nxim * obs.nyim
+    z = jnp.zeros((n,), jnp.float32)
+    st = cfg.par.use_stokes
+    return PeelCubes(scatt=z, direc=z,
+                     I=z if st else None, Q=z if st else None,
+                     U=z if st else None, V=z if st else None)
+
+
+def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
+    """Build the peel kernels. All returned fns operate on full (B,) batches
+    with an `active` mask and deposit into PeelCubes."""
+    par, line = cfg.par, cfg.line
+    nx, ny, nz = meta.nx, meta.ny, meta.nz
+    dx, dy, dz = meta.dx, meta.dy, meta.dz
+    xmn, ymn, zmn = meta.xmin, meta.ymin, meta.zmin
+    nxim, nyim, nxfreq = obs.nxim, obs.nyim, meta.nxfreq
+
+    from ..transport.engine import (cell_Dfreq, cell_velocity_dot,
+                                    cell_voigt_a, line_profile, _gather)
+
+    # ------------------------------------------------------------------
+    # tau to the grid edge along a fixed direction (per (nobs, B) lane)
+    # ------------------------------------------------------------------
+    def tau_to_edge(grid, x, y, z, ic, jc, kc, kx, ky, kz, xfreq, active,
+                    max_steps):
+        """Lockstep DDA accumulating optical depth to the boundary; respects
+        the same periodic/reflect boundary ops as the transport raytrace
+        (raytrace_to_edge_* family)."""
+
+        def face_dist(pos, k, idx, amin, d, n, skip):
+            if skip:
+                return jnp.broadcast_to(BIG, pos.shape)
+            up = k > 0.0
+            face = amin + jnp.where(up, idx + 1, idx).astype(jnp.float32) * d
+            t = (face - pos) / jnp.where(jnp.abs(k) < 1e-12,
+                                         jnp.float32(1.0), k)
+            return jnp.where(jnp.abs(k) < 1e-12, BIG, jnp.maximum(t, 0.0))
+
+        skip_x = (nx == 1 and meta.bc_x != 'escape')
+        skip_y = (ny == 1 and meta.bc_y != 'escape')
+
+        def cross(bc, n, amin, amax, i0, idx, pos, k, step):
+            nidx = idx + step
+            out_lo = nidx < 0
+            out_hi = nidx >= n
+            if bc == 'escape':
+                return nidx, pos, k, jnp.logical_or(out_lo, out_hi)
+            if bc == 'periodic':
+                nidx = jnp.where(out_lo, n - 1, jnp.where(out_hi, 0, nidx))
+                pos = jnp.where(out_lo, jnp.float32(amax),
+                                jnp.where(out_hi, jnp.float32(amin), pos))
+                return nidx, pos, k, jnp.zeros_like(out_lo)
+            if bc == 'reflect':
+                nidx = jnp.where(out_lo, i0 - 1, nidx)
+                pos = jnp.where(out_lo, jnp.float32(-amin), pos)
+                k = jnp.where(out_lo, -k, k)
+                return nidx, pos, k, out_hi
+            raise ValueError(bc)
+
+        xmx = xmn + nx * dx
+        ymx = ymn + ny * dy
+        zmx = zmn + nz * dz
+
+        def cond(c):
+            (x, y, z, ic, jc, kc, kx, ky, kz, xf, tau, live), n = c
+            return jnp.logical_and(n < max_steps, jnp.any(live))
+
+        def body(c):
+            (x, y, z, ic, jc, kc, kx, ky, kz, xf, tau, live), n = c
+            a_cell = cell_voigt_a(grid, meta, ic, jc, kc)
+            D_cell = cell_Dfreq(grid, meta, ic, jc, kc)
+            rk = _gather(grid.rhokap, meta, ic, jc, kc)
+            rho = rk * line_profile(cfg, xf, a_cell, D_cell)
+            if meta.has_dust:
+                rho = rho + _gather(grid.rhokapD, meta, ic, jc, kc)
+
+            tx = face_dist(x, kx, ic, xmn, dx, nx, skip_x)
+            ty = face_dist(y, ky, jc, ymn, dy, ny, skip_y)
+            tz = face_dist(z, kz, kc, zmn, dz, nz, False)
+            dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
+            axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
+            tau_n = jnp.where(live, tau + dmin * rho, tau)
+
+            stx = jnp.where(kx > 0, 1, -1)
+            sty = jnp.where(ky > 0, 1, -1)
+            stz = jnp.where(kz > 0, 1, -1)
+            ic2, xb, kx2, ex = cross(meta.bc_x, nx, xmn, xmx, meta.i0,
+                                     ic, x + dmin * kx, kx, stx)
+            jc2, yb, ky2, ey = cross(meta.bc_y, ny, ymn, ymx, meta.j0,
+                                     jc, y + dmin * ky, ky, sty)
+            kc2, zb, kz2, ez = cross(meta.bc_z, nz, zmn, zmx, meta.k0,
+                                     kc, z + dmin * kz, kz, stz)
+            cx = jnp.logical_and(live, axis == 0)
+            cy = jnp.logical_and(live, axis == 1)
+            cz = jnp.logical_and(live, axis == 2)
+            xn = jnp.where(cx, xb, jnp.where(live, x + dmin * kx, x))
+            yn = jnp.where(cy, yb, jnp.where(live, y + dmin * ky, y))
+            zn = jnp.where(cz, zb, jnp.where(live, z + dmin * kz, z))
+            icn = jnp.where(cx, ic2, ic)
+            jcn = jnp.where(cy, jc2, jc)
+            kcn = jnp.where(cz, kc2, kc)
+            kxn = jnp.where(cx, kx2, kx)
+            kyn = jnp.where(cy, ky2, ky)
+            kzn = jnp.where(cz, kz2, kz)
+            esc = jnp.logical_or(jnp.logical_or(
+                jnp.logical_and(cx, ex), jnp.logical_and(cy, ey)),
+                jnp.logical_and(cz, ez))
+
+            if not meta.static_medium or not meta.uniform_temperature:
+                u1 = cell_velocity_dot(grid, meta, ic, jc, kc, kx, ky, kz)
+                u2 = cell_velocity_dot(grid, meta, icn, jcn, kcn,
+                                       kxn, kyn, kzn)
+                D2 = cell_Dfreq(grid, meta, icn, jcn, kcn)
+                xfn = (xf + u1) * D_cell / D2 - u2
+                xf = jnp.where(jnp.logical_and(live, ~esc), xfn, xf)
+
+            live = jnp.logical_and(live, ~esc)
+            live = jnp.logical_and(live, tau_n < TAU_HUGE)
+            return (xn, yn, zn, icn, jcn, kcn, kxn, kyn, kzn, xf,
+                    tau_n, live), n + 1
+
+        live0 = active
+        tau0 = jnp.zeros_like(x)
+        carry = ((x, y, z, ic, jc, kc, kx, ky, kz, xfreq, tau0, live0),
+                 jnp.int32(0))
+        (out, _) = jax.lax.while_loop(cond, body, carry)
+        return out[10]   # tau
+
+    max_steps = 2 * (nx + ny + nz) + 8
+
+    # ------------------------------------------------------------------
+    # geometry helpers (per observer o, batch arrays)
+    # ------------------------------------------------------------------
+    def obs_geometry(odev: ObserverDevice, o: int, s):
+        ox, oy, oz = (odev.pos[o, 0], odev.pos[o, 1], odev.pos[o, 2])
+        pkx, pky, pkz = ox - s.x, oy - s.y, oz - s.z
+        r2 = pkx * pkx + pky * pky + pkz * pkz
+        r = jnp.sqrt(r2)
+        pkx, pky, pkz = pkx / r, pky / r, pkz / r
+        R = odev.rmat[o]
+        kx = R[0, 0] * pkx + R[0, 1] * pky + R[0, 2] * pkz
+        ky = R[1, 0] * pkx + R[1, 1] * pky + R[1, 2] * pkz
+        kz = R[2, 0] * pkx + R[2, 1] * pky + R[2, 2] * pkz
+        ix = jnp.floor(jnp.arctan2(-kx, kz) * RAD2DEG / obs.dxim
+                       + nxim / 2.0).astype(jnp.int32)
+        iy = jnp.floor(jnp.arctan2(-ky, kz) * RAD2DEG / obs.dyim
+                       + nyim / 2.0).astype(jnp.int32)
+        in_img = jnp.logical_and(jnp.logical_and(ix >= 0, ix < nxim),
+                                 jnp.logical_and(iy >= 0, iy < nyim))
+        return (pkx, pky, pkz), r2, (ix, iy), in_img
+
+    def flat_idx(o, ixf, ix, iy):
+        return ((o * nxfreq + ixf) * nxim + ix) * nyim + iy
+
+    def freq_bin(grid, s, pk, xfreq_com):
+        """Comoving frequency at the event cell -> lab bin index."""
+        D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
+        u1 = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc, *pk)
+        xr = (xfreq_com + u1) * (D_cell / meta.Dfreq_ref)
+        ixf = jnp.floor((xr - meta.xfreq_min) / meta.dxfreq).astype(jnp.int32)
+        ok = jnp.logical_and(ixf >= 0, ixf < nxfreq)
+        return ixf, ok
+
+    # ------------------------------------------------------------------
+    # peel kernels
+    # ------------------------------------------------------------------
+    def peel_direct(cubes: PeelCubes, grid, odev, s, active):
+        """Direct (unscattered) peel at emission (peeling_direct_outside,
+        peelingoff_rect.f90:24-129)."""
+        direc = cubes.direc
+        I = cubes.I
+        for o in range(obs.nobs):
+            pk, r2, (ix, iy), in_img = obs_geometry(odev, o, s)
+            # comoving-source convention: peel frequency toward the observer
+            xfreq_peel = s.xfreq
+            if not par.comoving_source and not meta.static_medium:
+                uk = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                       s.kx, s.ky, s.kz)
+                uo = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc, *pk)
+                xfreq_peel = s.xfreq + uk - uo
+            ixf, okf = freq_bin(grid, s, pk, xfreq_peel)
+            act = jnp.logical_and(active, in_img)
+            tau = tau_to_edge(grid, s.x, s.y, s.z, s.ic, s.jc, s.kc,
+                              pk[0], pk[1], pk[2], xfreq_peel, act, max_steps)
+            wgt = jnp.exp(-jnp.minimum(tau, 700.0)) / (FOURPI * r2) * s.wgt
+            dep = jnp.where(jnp.logical_and(act, okf), wgt, 0.0)
+            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1),
+                           jnp.clip(ix, 0, nxim - 1),
+                           jnp.clip(iy, 0, nyim - 1))
+            direc = direc.at[idx].add(dep)
+            if par.use_stokes:
+                I = I.at[idx].add(dep)
+        out = cubes._replace(direc=direc)
+        if par.use_stokes:
+            out = out._replace(I=I)
+        return out
+
+    def peel_resonance(cubes: PeelCubes, grid, odev, s, active,
+                       xfreq_atom, ua_x, ua_y, ua_z):
+        """Resonance peel at a scattering event, BEFORE the direction/triad
+        update (peeling_resonance_[no]stokes_outside,
+        peelingoff_rect.f90:303-690).  E1/E2/E3 ride on lane state via the
+        caller (passed through s_E* arrays)."""
+        scatt = cubes.scatt
+        I, Q, U, V = cubes.I, cubes.Q, cubes.U, cubes.V
+        E1, E2, E3 = s['E1'], s['E2'], s['E3']
+        ph = s['state']
+        D_cell = cell_Dfreq(grid, meta, ph.ic, ph.jc, ph.kc)
+        for o in range(obs.nobs):
+            pk, r2, (ix, iy), in_img = obs_geometry(odev, o, ph)
+            cost = ph.kx * pk[0] + ph.ky * pk[1] + ph.kz * pk[2]
+            cost2 = cost * cost
+            sint = jnp.sqrt(jnp.maximum(1.0 - cost2, 0.0))
+
+            if par.use_stokes:
+                # azimuth relative to the (m, n) triad
+                # (peelingoff_rect.f90:365-377)
+                sint_safe = jnp.maximum(sint, 1e-20)
+                cosp = (pk[0] * ph.mx + pk[1] * ph.my + pk[2] * ph.mz) / sint_safe
+                sinp = (pk[0] * ph.nnx + pk[1] * ph.nny + pk[2] * ph.nnz) / sint_safe
+                cosp = jnp.where(sint == 0.0, 1.0, cosp)
+                sinp = jnp.where(sint == 0.0, 0.0, sinp)
+            else:
+                # azimuth from the propagation-vector geometry
+                # (peelingoff_rect.f90:637-648)
+                rho1 = jnp.sqrt(jnp.maximum(1.0 - ph.kz * ph.kz, 0.0)) * sint
+                inv = 1.0 / jnp.maximum(rho1, 1e-20)
+                cosp = jnp.where(rho1 == 0.0, 1.0,
+                                 inv * (cost * ph.kz - pk[2]))
+                sinp = jnp.where(rho1 == 0.0, 0.0,
+                                 inv * (ph.kx * pk[1] - pk[0] * ph.ky))
+
+            xfreq = (xfreq_atom + (ua_x * cosp + ua_y * sinp) * sint
+                     + ua_z * cost)
+            if par.recoil:
+                xfreq = xfreq - (line.g_recoil0 / D_cell) * (1.0 - cost)
+
+            ixf, okf = freq_bin(grid, ph, pk, xfreq)
+            act = jnp.logical_and(active, in_img)
+            tau = tau_to_edge(grid, ph.x, ph.y, ph.z, ph.ic, ph.jc, ph.kc,
+                              pk[0], pk[1], pk[2], xfreq, act, max_steps)
+            atten = jnp.exp(-jnp.minimum(tau, 700.0))
+
+            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1),
+                           jnp.clip(ix, 0, nxim - 1),
+                           jnp.clip(iy, 0, nyim - 1))
+            okdep = jnp.logical_and(act, okf)
+
+            if par.use_stokes:
+                S22 = 0.75 * E1 * (cost2 + 1.0)
+                S11 = S22 + E2
+                S12 = 0.75 * E1 * (cost2 - 1.0)
+                S33 = 1.5 * E1 * cost
+                S44 = 1.5 * E3 * cost
+                cos2p = 2.0 * cosp * cosp - 1.0
+                sin2p = 2.0 * cosp * sinp
+                Q0 = cos2p * ph.Q + sin2p * ph.U
+                U0 = -sin2p * ph.Q + cos2p * ph.U
+                Iobs = (S11 + S12 * Q0) / FOURPI
+                Qobs = (S12 + S22 * Q0) / FOURPI
+                Uobs = (S33 * U0) / FOURPI
+                Vobs = (S44 * ph.V) / FOURPI
+                # peel-frame normal vector, rotated to the detector
+                pnx = -sinp * ph.mx + cosp * ph.nnx
+                pny = -sinp * ph.my + cosp * ph.nny
+                pnz = -sinp * ph.mz + cosp * ph.nnz
+                R = odev.rmat[o]
+                cosg = -(R[0, 0] * pnx + R[0, 1] * pny + R[0, 2] * pnz)
+                sing = (R[1, 0] * pnx + R[1, 1] * pny + R[1, 2] * pnz)
+                cos2g = 2.0 * cosg * cosg - 1.0
+                sin2g = 2.0 * cosg * sing
+                Qdet = cos2g * Qobs + sin2g * Uobs
+                Udet = -sin2g * Qobs + cos2g * Uobs
+                w = atten / r2 * ph.wgt
+                depI = jnp.where(okdep, w * Iobs, 0.0)
+                scatt = scatt.at[idx].add(depI)
+                I = I.at[idx].add(depI)
+                Q = Q.at[idx].add(jnp.where(okdep, w * Qdet, 0.0))
+                U = U.at[idx].add(jnp.where(okdep, w * Udet, 0.0))
+                V = V.at[idx].add(jnp.where(okdep, w * Vobs, 0.0))
+            else:
+                peel = 0.75 * E1 * (cost2 + 1.0) + E2
+                w = peel / (FOURPI * r2) * atten * ph.wgt
+                scatt = scatt.at[idx].add(jnp.where(okdep, w, 0.0))
+        out = cubes._replace(scatt=scatt)
+        if par.use_stokes:
+            out = out._replace(I=I, Q=Q, U=U, V=V)
+        return out
+
+    def peel_dust(cubes: PeelCubes, grid, odev, s, active):
+        """Dust HG peel (peeling_dust_nostokes_outside,
+        peelingoff_rect.f90:484-575)."""
+        scatt = cubes.scatt
+        g = par.hgg
+        for o in range(obs.nobs):
+            pk, r2, (ix, iy), in_img = obs_geometry(odev, o, s)
+            cosa = s.kx * pk[0] + s.ky * pk[1] + s.kz * pk[2]
+            peel = (1.0 - g * g) / (1.0 + g * g - 2.0 * g * cosa) ** 1.5 \
+                / FOURPI
+            ixf, okf = freq_bin(grid, s, pk, s.xfreq)
+            act = jnp.logical_and(active, in_img)
+            tau = tau_to_edge(grid, s.x, s.y, s.z, s.ic, s.jc, s.kc,
+                              pk[0], pk[1], pk[2], s.xfreq, act, max_steps)
+            w = peel / r2 * jnp.exp(-jnp.minimum(tau, 700.0)) * s.wgt
+            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1),
+                           jnp.clip(ix, 0, nxim - 1),
+                           jnp.clip(iy, 0, nyim - 1))
+            scatt = scatt.at[idx].add(
+                jnp.where(jnp.logical_and(act, okf), w, 0.0))
+        return cubes._replace(scatt=scatt)
+
+    return peel_direct, peel_resonance, peel_dust

@@ -45,10 +45,11 @@ def sharded_chunk(chunk_fn, mesh: Mesh):
     tallies/alive/launched are psum-med over ICI and replicated.
     """
 
-    def wrapped(state, grid, key, n_shard):
+    def wrapped(state, grid, key, n_shard, odev):
         # decorrelate device RNG streams
         key = jax.random.fold_in(key, jax.lax.axis_index('data'))
-        state, tallies, alive, launched = chunk_fn(state, grid, key, n_shard)
+        state, tallies, alive, launched = chunk_fn(state, grid, key,
+                                                   n_shard, odev)
         tallies = jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, 'data'), tallies)
         alive = jax.lax.psum(alive, 'data')
@@ -58,7 +59,7 @@ def sharded_chunk(chunk_fn, mesh: Mesh):
     spec_state = P('data')
     return jax.jit(shard_map(
         wrapped, mesh=mesh,
-        in_specs=(spec_state, P(), P(), P('data')),
+        in_specs=(spec_state, P(), P(), P('data'), P()),
         out_specs=(spec_state, P(), P(), P()),
         check_rep=False))
 

@@ -34,6 +34,9 @@ class RunResult:
     nscatt_tot: float
     exetime_s: float = 0.0
     nrejected: float = 0.0
+    # peel cubes: dict name -> (nobs, nxfreq, nxim, nyim) arrays, normalized
+    peel: Optional[dict] = None
+    obs_meta: object = None
 
     @property
     def line(self):
@@ -50,7 +53,8 @@ def spectral_axes(cfg: ResolvedConfig, meta: GridMeta):
 
 
 def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
-              nphotons: int, exetime_s: float = 0.0) -> RunResult:
+              nphotons: int, exetime_s: float = 0.0,
+              obs_meta=None) -> RunResult:
     """raw: dict with f64 arrays Jin/Jout/Jabs and scalars nscatt_*."""
     par = cfg.par
     xfreq, velocity, wavelength = spectral_axes(cfg, meta)
@@ -88,6 +92,16 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
             if Jabs is not None:
                 Jabs = Jabs / scale
 
+    # peel-off cube normalization (output_sum_rect.f90:427-450):
+    # scale = nphotons * steradian_pix * bin_unit * distance2cm^2
+    peel = None
+    if obs_meta is not None and 'peel_scatt' in raw:
+        shape = (obs_meta.nobs, meta.nxfreq, obs_meta.nxim, obs_meta.nyim)
+        scale = (nphotons * obs_meta.steradian_pix * bin_unit
+                 * distance2cm ** 2)
+        peel = {k[5:]: raw[k].reshape(shape) / scale
+                for k in raw if k.startswith('peel_')}
+
     return RunResult(
         cfg=cfg, meta=meta, nphotons=nphotons,
         xfreq=xfreq, velocity=velocity, wavelength=wavelength,
@@ -95,4 +109,4 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
         nscatt_gas=raw['nscatt_gas'] / nphotons,
         nscatt_dust=raw['nscatt_dust'] / nphotons,
         nscatt_tot=(raw['nscatt_gas'] + raw['nscatt_dust']) / nphotons,
-        exetime_s=exetime_s)
+        exetime_s=exetime_s, peel=peel, obs_meta=obs_meta)

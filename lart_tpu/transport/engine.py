@@ -77,6 +77,17 @@ class BatchState(NamedTuple):
     bkx: jnp.ndarray
     bky: jnp.ndarray
     bkz: jnp.ndarray
+    # Stokes parameters (normalized: I == 1) and reference triad (m, n, k)
+    # (photon_type Stokes/m/n members, define.f90:86-104)
+    Q: jnp.ndarray
+    U: jnp.ndarray
+    V: jnp.ndarray
+    mx: jnp.ndarray
+    my: jnp.ndarray
+    mz: jnp.ndarray
+    nnx: jnp.ndarray
+    nny: jnp.ndarray
+    nnz: jnp.ndarray
     # scalar bookkeeping
     n_launched: jnp.ndarray     # int32 ()
 
@@ -87,6 +98,7 @@ class Tallies(NamedTuple):
     Jabs: jnp.ndarray
     nscatt_gas: jnp.ndarray     # () f32
     nscatt_dust: jnp.ndarray
+    peel: object = None         # PeelCubes or None
 
 
 def init_state(batch: int) -> BatchState:
@@ -97,13 +109,16 @@ def init_state(batch: int) -> BatchState:
                       wgt=zf, tau_target=zf, tau_run=zf,
                       bx=zf, by=zf, bz=zf, bic=zi, bjc=zi, bkc=zi,
                       bxfreq=zf, bkx=zf, bky=zf, bkz=zf + 1.0,
+                      Q=zf, U=zf, V=zf, mx=zf + 1.0, my=zf, mz=zf,
+                      nnx=zf, nny=zf + 1.0, nnz=zf,
                       n_launched=jnp.zeros((1,), jnp.int32))
 
 
-def zero_tallies(nxfreq: int) -> Tallies:
+def zero_tallies(nxfreq: int, peel=None) -> Tallies:
     z = jnp.zeros((nxfreq,), jnp.float32)
     return Tallies(Jin=z, Jout=z, Jabs=z,
-                   nscatt_gas=jnp.float32(0.0), nscatt_dust=jnp.float32(0.0))
+                   nscatt_gas=jnp.float32(0.0), nscatt_dust=jnp.float32(0.0),
+                   peel=peel)
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +199,7 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
         t = (face - pos) / jnp.where(jnp.abs(k) < 1e-12, jnp.float32(1.0), k)
         return jnp.where(jnp.abs(k) < 1e-12, BIG, jnp.maximum(t, 0.0))
 
-    def cross_axis(bc, n, amin, amax, idx, pos, k, step):
+    def cross_axis(bc, n, amin, amax, idx, pos, k, step, i0):
         """Apply boundary op after stepping index by `step`; returns
         (idx, pos, k, escaped)."""
         nidx = idx + step
@@ -199,8 +214,12 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
                             jnp.where(out_hi, jnp.float32(amin), pos))
             return nidx, pos, k, jnp.zeros_like(out)
         if bc == 'reflect':
-            # reflect at the lower face only; upper face escapes
-            nidx = jnp.where(out_lo, 0, nidx)
+            # reflect at the lower boundary about the symmetry plane x=0
+            # (raytrace_car.f90:1828-1832 with the odd-n half-cell handled
+            # by mirroring the face position -amin and restarting in cell
+            # i0-1); the upper face escapes
+            nidx = jnp.where(out_lo, i0 - 1, nidx)
+            pos = jnp.where(out_lo, jnp.float32(-amin), pos)
             k = jnp.where(out_lo, -k, k)
             return nidx, pos, k, out_hi
         raise ValueError(bc)
@@ -263,11 +282,11 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             sty = jnp.where(s.ky > 0, 1, -1)
             stz = jnp.where(s.kz > 0, 1, -1)
             ic2, xb, kx2, esc_x = cross_axis(meta.bc_x, nx, xmn, xmx,
-                                             s.ic, xn, s.kx, stx)
+                                             s.ic, xn, s.kx, stx, meta.i0)
             jc2, yb, ky2, esc_y = cross_axis(meta.bc_y, ny, ymn, ymx,
-                                             s.jc, yn, s.ky, sty)
+                                             s.jc, yn, s.ky, sty, meta.j0)
             kc2, zb, kz2, esc_z = cross_axis(meta.bc_z, nz, zmn, zmx,
-                                             s.kc, zn, s.kz, stz)
+                                             s.kc, zn, s.kz, stz, meta.k0)
             crossed = jnp.logical_and(moving, ~hit)
             cx = jnp.logical_and(crossed, axis == 0)
             cy = jnp.logical_and(crossed, axis == 1)
@@ -391,9 +410,14 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
 # Scatter: resonance (+ dust) event processing
 # ---------------------------------------------------------------------------
 
-def make_scatter(cfg: ResolvedConfig, meta: GridMeta):
+def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
+                 peel_resonance=None, peel_dust=None):
     par, line = cfg.par, cfg.line
     lt = line.line_type
+    if par.use_stokes and meta.has_dust:
+        raise NotImplementedError(
+            'Stokes dust scattering (Mueller tables) lands with the peeling '
+            'instruments; run with use_stokes=False or DGR=0 for now')
 
     def rotate_direction(kx, ky, kz, cost, sint, cosp, sinp):
         """New propagation vector from scattering angles about (kx,ky,kz)
@@ -448,7 +472,9 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta):
                                             env, acc, uz, active)
             xfreq_atom = s.xfreq - uz
             E1 = jnp.full_like(s.xfreq, line.E1)
-            return acc, uz, xfreq_atom, E1, jnp.zeros_like(s.xfreq)
+            E2 = jnp.full_like(s.xfreq, line.E2)
+            E3 = jnp.full_like(s.xfreq, line.E3)
+            return acc, uz, xfreq_atom, E1, E2, E3
         if lt == 2:
             # H/K doublet: choose upper state by profile weight
             # (do_resonance2, line_mod.f90:147-204)
@@ -467,11 +493,15 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta):
             xfreq_atom = s.xfreq - uz
             qH = xfreq_atom + DnuHK
             qK = xfreq_atom
-            E1 = (2.0 * qK * qH + qH * qH) / (qK * qK + 2.0 * qH * qH)
-            return acc, uz, xfreq_atom, E1, jnp.zeros_like(s.xfreq)
+            E1 = (2.0 * qK * qH + qH * qH) / jnp.maximum(
+                qK * qK + 2.0 * qH * qH, TINY)
+            E2 = 1.0 - E1
+            E3 = (E1 + 2.0) / 3.0
+            return acc, uz, xfreq_atom, E1, E2, E3
         raise NotImplementedError(f'scatter for line_type {lt}')
 
-    def scatter(state: BatchState, grid: GridDevice, tallies: Tallies, key):
+    def scatter(state: BatchState, grid: GridDevice, tallies: Tallies, key,
+                odev=None):
         s, t = state, tallies
         at_sc = s.phase == AT_SCATTER
         a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
@@ -491,15 +521,44 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta):
         is_res = jnp.logical_and(at_sc, ~is_dust)
 
         # ---------------- resonance branch ----------------
-        acc, uz, xfreq_atom, E1, dx_shift = redistribute(
+        acc, uz, xfreq_atom, E1, E2, E3 = redistribute(
             keys[0], s, a_cell, D_cell, is_res)
-        do_res = jnp.logical_and(is_res, acc)
 
         xi = jax.random.uniform(keys[1], (6,) + s.x.shape, jnp.float32)
         xi = jnp.maximum(xi, 1e-12)
         cost = samplers.rand_resonance_cost(xi[0], E1)
-        sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
-        phi = 2.0 * math.pi * xi[1]
+        cost2 = cost * cost
+        sint = jnp.sqrt(jnp.maximum(1.0 - cost2, 0.0))
+
+        if par.use_stokes:
+            # scattering (Mueller) matrix elements from (E1,E2,E3,cost)
+            # (do_resonance1, line_mod.f90:131-138)
+            S22 = 0.75 * E1 * (cost2 + 1.0)
+            S11 = S22 + E2
+            S12 = 0.75 * E1 * (cost2 - 1.0)
+            S33 = 1.5 * E1 * cost
+            S44 = 1.5 * E3 * cost
+            S12overS11 = S12 / jnp.maximum(S11, TINY)
+            # azimuth by rejection from 1 + (S12/S11)(Q cos2p + U sin2p)
+            # (scatter_resonance_stokes, scattering_car.f90:364-372)
+            pmag = jnp.sqrt(s.Q * s.Q + s.U * s.U)
+            acc_phi = jnp.zeros_like(acc)
+            phi = jnp.zeros_like(s.x)
+            for i in range(par.scatter_rounds):
+                xph = jax.random.uniform(
+                    jax.random.fold_in(keys[3], i), (2,) + s.x.shape,
+                    jnp.float32)
+                phi_p = 2.0 * math.pi * xph[0]
+                Prand = (1.0 + jnp.abs(S12overS11) * pmag) * xph[1]
+                Pcomp = 1.0 + S12overS11 * (s.Q * jnp.cos(2.0 * phi_p)
+                                            + s.U * jnp.sin(2.0 * phi_p))
+                take = jnp.logical_and(~acc_phi, Prand <= Pcomp)
+                phi = jnp.where(take, phi_p, phi)
+                acc_phi = jnp.logical_or(acc_phi, take)
+            acc = jnp.logical_and(acc, acc_phi)
+        else:
+            phi = 2.0 * math.pi * xi[1]
+        do_res = jnp.logical_and(is_res, acc)
         cosp = jnp.cos(phi)
         sinp = jnp.sin(phi)
 
@@ -513,12 +572,57 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta):
         uy = uxy * jnp.sin(phi2)
         xfreq_new = xfreq_atom + uz * cost + (ux * cosp + uy * sinp) * sint
 
+        # peel BEFORE the direction/triad update, using the pre-scatter
+        # photon direction and the sampled atom velocity
+        # (scattering_car.f90:784-792, :445-449)
+        if peel_resonance is not None:
+            t = t._replace(peel=peel_resonance(
+                t.peel, grid, odev,
+                {'state': s, 'E1': E1, 'E2': E2, 'E3': E3},
+                do_res, xfreq_atom, ux, uy, uz))
+
         if par.recoil:
             g_recoil = line.g_recoil0 / D_cell
             xfreq_new = xfreq_new - g_recoil * (1.0 - cost)
 
-        kx_n, ky_n, kz_n = rotate_direction(s.kx, s.ky, s.kz,
-                                            cost, sint, cosp, sinp)
+        if par.use_stokes:
+            # triad rotation (m, n, k) and Stokes update
+            # (scatter_resonance_stokes, scattering_car.f90:453-487)
+            px_ = cosp * s.mx + sinp * s.nnx
+            py_ = cosp * s.my + sinp * s.nny
+            pz_ = cosp * s.mz + sinp * s.nnz
+            nx_n = cosp * s.nnx - sinp * s.mx
+            ny_n = cosp * s.nny - sinp * s.my
+            nz_n = cosp * s.nnz - sinp * s.mz
+            mx_n = cost * px_ - sint * s.kx
+            my_n = cost * py_ - sint * s.ky
+            mz_n = cost * pz_ - sint * s.kz
+            kx_n = sint * px_ + cost * s.kx
+            ky_n = sint * py_ + cost * s.ky
+            kz_n = sint * pz_ + cost * s.kz
+            # re-orthonormalize against f32 drift: k, m := m - (m.k)k, n = kxm
+            knorm = jax.lax.rsqrt(kx_n * kx_n + ky_n * ky_n + kz_n * kz_n)
+            kx_n, ky_n, kz_n = kx_n * knorm, ky_n * knorm, kz_n * knorm
+            mk = mx_n * kx_n + my_n * ky_n + mz_n * kz_n
+            mx_n, my_n, mz_n = mx_n - mk * kx_n, my_n - mk * ky_n, mz_n - mk * kz_n
+            mnorm = jax.lax.rsqrt(jnp.maximum(
+                mx_n * mx_n + my_n * my_n + mz_n * mz_n, TINY))
+            mx_n, my_n, mz_n = mx_n * mnorm, my_n * mnorm, mz_n * mnorm
+            nx_n = ky_n * mz_n - kz_n * my_n
+            ny_n = kz_n * mx_n - kx_n * mz_n
+            nz_n = kx_n * my_n - ky_n * mx_n
+
+            cos2p = 2.0 * cosp * cosp - 1.0
+            sin2p = 2.0 * sinp * cosp
+            Q0 = cos2p * s.Q + sin2p * s.U
+            U0 = -sin2p * s.Q + cos2p * s.U
+            I1 = jnp.maximum(S11 + S12 * Q0, TINY)
+            Q_n = (S12 + S22 * Q0) / I1
+            U_n = (S33 * U0) / I1
+            V_n = (S44 * s.V) / I1
+        else:
+            kx_n, ky_n, kz_n = rotate_direction(s.kx, s.ky, s.kz,
+                                                cost, sint, cosp, sinp)
 
         # ---------------- dust branch (scatter_dust_nostokes) -------------
         if meta.has_dust:
@@ -538,13 +642,20 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta):
                             / meta.dxfreq).astype(jnp.int32)
             ina = jnp.logical_and(ixa >= 0, ixa < meta.nxfreq)
             wab = s.wgt * (1.0 - par.albedo) if par.use_reduced_wgt else s.wgt
+            if peel_dust is not None:
+                s_peel = s._replace(wgt=s.wgt * par.albedo) \
+                    if par.use_reduced_wgt else s
+                t = t._replace(peel=peel_dust(t.peel, grid, odev, s_peel,
+                                              dust_sc))
             Jabs = t.Jabs.at[jnp.clip(ixa, 0, meta.nxfreq - 1)].add(
                 jnp.where(jnp.logical_and(jnp.logical_and(
                     is_dust, jnp.logical_or(absorbed, par.use_reduced_wgt)),
                     ina), wab, 0.0))
+            # reference counts every dust event (incl. absorption) in
+            # nscatt_dust (scattering_car.f90:505)
             t = t._replace(Jabs=Jabs,
                            nscatt_dust=t.nscatt_dust
-                           + jnp.sum(jnp.where(dust_sc, s.wgt, 0.0)))
+                           + jnp.sum(jnp.where(is_dust, s.wgt, 0.0)))
         else:
             absorbed = jnp.zeros_like(is_dust)
             dust_sc = jnp.zeros_like(is_dust)
@@ -576,6 +687,18 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta):
             tau_target=jnp.where(done, tau_next, s.tau_target),
             tau_run=jnp.where(done, 0.0, s.tau_run),
         )
+        if par.use_stokes:
+            s2 = s2._replace(
+                Q=jnp.where(do_res, Q_n, s.Q),
+                U=jnp.where(do_res, U_n, s.U),
+                V=jnp.where(do_res, V_n, s.V),
+                mx=jnp.where(do_res, mx_n, s.mx),
+                my=jnp.where(do_res, my_n, s.my),
+                mz=jnp.where(do_res, mz_n, s.mz),
+                nnx=jnp.where(do_res, nx_n, s.nnx),
+                nny=jnp.where(do_res, ny_n, s.nny),
+                nnz=jnp.where(do_res, nz_n, s.nnz),
+            )
         t2 = t._replace(nscatt_gas=t.nscatt_gas
                         + jnp.sum(jnp.where(do_res, s.wgt, 0.0)))
         return s2, t2
@@ -587,7 +710,7 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta):
 # Refill: photon generation into dead lanes
 # ---------------------------------------------------------------------------
 
-def make_refill(cfg: ResolvedConfig, meta: GridMeta):
+def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
     par, line = cfg.par, cfg.line
     sg = par.source_geometry.strip().lower()
     st = par.spectral_type.strip().lower()
@@ -632,7 +755,7 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta):
         raise NotImplementedError(f'source_geometry {sg!r}')
 
     def refill(state: BatchState, grid: GridDevice, tallies: Tallies, key,
-               n_shard):
+               n_shard, odev=None):
         s, t = state, tallies
         dead = s.phase == DEAD
         remaining = (n_shard - s.n_launched)[0]
@@ -711,6 +834,17 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta):
             phase=w(jnp.full(shape, FFS, jnp.int32), s.phase),
             x=w(x, s.x), y=w(y, s.y), z=w(z, s.z),
             kx=w(kx, s.kx), ky=w(ky, s.ky), kz=w(kz, s.kz),
+            # reference triad for unpolarized birth
+            # (setup_isotropic_injection, generate_photon.f90:394-409)
+            Q=w(jnp.zeros(shape, jnp.float32), s.Q),
+            U=w(jnp.zeros(shape, jnp.float32), s.U),
+            V=w(jnp.zeros(shape, jnp.float32), s.V),
+            mx=w(cost * jnp.cos(phi), s.mx),
+            my=w(cost * jnp.sin(phi), s.my),
+            mz=w(-sint, s.mz),
+            nnx=w(-jnp.sin(phi), s.nnx),
+            nny=w(jnp.cos(phi), s.nny),
+            nnz=w(jnp.zeros(shape, jnp.float32), s.nnz),
             ic=w(ic, s.ic), jc=w(jc, s.jc), kc=w(kc, s.kc),
             xfreq=w(xfreq, s.xfreq),
             wgt=w(jnp.ones(shape, jnp.float32), s.wgt),
@@ -721,6 +855,10 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta):
             bxfreq=w(xfreq, s.bxfreq),
             bkx=w(kx, s.bkx), bky=w(ky, s.bky), bkz=w(kz, s.bkz),
             n_launched=s.n_launched + n_new)
+        # direct peel of the newborn photon at full weight, BEFORE forced
+        # first scattering reweighting (generate_photon.f90:336-339)
+        if peel_direct is not None:
+            t = t._replace(peel=peel_direct(t.peel, grid, odev, s2, launch))
         return s2, t
 
     return refill
@@ -798,18 +936,27 @@ def make_cycle(cfg: ResolvedConfig, meta: GridMeta):
     return cycle
 
 
-def make_chunk(cfg: ResolvedConfig, meta: GridMeta):
-    """chunk(state, grid, key, n_shard) -> (state, tallies, alive, launched)
-    running `chunk_cycles` cycles inside one jit.  n_shard is a traced (1,)
-    int32 (per-device photon budget) so one trace serves all shards."""
+def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None):
+    """chunk(state, grid, key, n_shard, odev) -> (state, tallies, alive,
+    launched) running `chunk_cycles` cycles inside one jit.  n_shard is a
+    traced (1,) int32 (per-device photon budget) so one trace serves all
+    shards.  obs_meta/odev enable the peeling instruments."""
+    if obs_meta is not None:
+        from ..instruments import peel as peel_mod
+        p_direct, p_res, p_dust = peel_mod.make_peel(cfg, meta, obs_meta)
+        peel_zero = lambda: peel_mod.zero_cubes(cfg, meta, obs_meta)
+    else:
+        p_direct = p_res = p_dust = None
+        peel_zero = lambda: None
+
     fly = make_fly(cfg, meta)
-    scatter = make_scatter(cfg, meta)
-    refill = make_refill(cfg, meta)
+    scatter = make_scatter(cfg, meta, peel_resonance=p_res, peel_dust=p_dust)
+    refill = make_refill(cfg, meta, peel_direct=p_direct)
     n_cycles = cfg.par.chunk_cycles
     refill_every = max(1, cfg.par.refill_every)
 
-    def chunk(state, grid, key, n_shard):
-        tallies = zero_tallies(meta.nxfreq)
+    def chunk(state, grid, key, n_shard, odev=None):
+        tallies = zero_tallies(meta.nxfreq, peel=peel_zero())
 
         def body(i, carry):
             st, tl = carry
@@ -819,10 +966,10 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta):
             # most refill_every cycles; refill is ~20% of cycle cost)
             st, tl = jax.lax.cond(
                 i % refill_every == 0,
-                lambda st, tl: refill(st, grid, tl, k1, n_shard),
+                lambda st, tl: refill(st, grid, tl, k1, n_shard, odev),
                 lambda st, tl: (st, tl), st, tl)
             st, tl = fly(st, grid, tl, cfg.par.fly_substeps)
-            st, tl = scatter(st, grid, tl, k2)
+            st, tl = scatter(st, grid, tl, k2, odev)
             return st, tl
 
         state, tallies = jax.lax.fori_loop(0, n_cycles, body,

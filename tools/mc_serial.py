@@ -165,3 +165,97 @@ if __name__ == '__main__':
     xf, J, ns, dxf = run_slab(nph, tau, T=T, seed=1)
     print(f"tau0={tau} T={T}: <N_scatt> = {ns:.2f}")
     print(f"escaped weight fraction = {J.sum() / nph:.4f}")
+
+
+def run_sphere(nphotons, taumax, T=1e4, nxfreq=121, xmax_freq=None, seed=0,
+               vtherm1=0.12895319011972164 / np.sqrt(1.00797),
+               damping=6.2649e8, wavelength0=0.1215668237310):
+    """Golden model: uniform static sphere (analytic boundary, no grid),
+    point source at center, dipole resonance scattering, FFS.
+    Returns (xfreq_centers, Jout_counts, mean_nscatt, dxf)."""
+    rng = np.random.default_rng(seed)
+    vtherm = vtherm1 * np.sqrt(T)
+    Dfreq = vtherm / (wavelength0 * 1e-9)
+    a = damping / (4 * np.pi) / Dfreq
+    rmax = 1.0
+    H0 = voigt(0.0, a)
+    rhokap0 = taumax / (H0 * rmax)
+
+    if xmax_freq is None:
+        atau3 = (a * taumax) ** (1 / 3)
+        xscale = 25 if taumax <= 50 else 14 if taumax <= 500 else \
+            10 if taumax <= 5e3 else 5
+        xmax_freq = np.floor(xscale * atau3) + 1
+    xmin_freq = -xmax_freq
+    dxf = (xmax_freq - xmin_freq) / nxfreq
+    Jout = np.zeros(nxfreq)
+    nscatt_tot = 0.0
+
+    def dist_to_surface(p, k):
+        b = p @ k
+        det = b * b - (p @ p - rmax ** 2)
+        return -b + np.sqrt(max(det, 0.0))
+
+    def iso_dir(rng):
+        c = 2 * rng.random() - 1
+        s = np.sqrt(1 - c * c)
+        ph = 2 * np.pi * rng.random()
+        return np.array([s * np.cos(ph), s * np.sin(ph), c])
+
+    for ip in range(nphotons):
+        p = np.zeros(3)
+        k = iso_dir(rng)
+        x = rand_voigt_freq(rng, a)
+        wgt = 1.0
+        nscatt = 0.0
+
+        tau0 = rhokap0 * voigt(x, a) * dist_to_surface(p, k)
+        ix = int(np.floor((x - xmin_freq) / dxf))
+        if 0 <= ix < nxfreq:
+            Jout[ix] += wgt * np.exp(-min(tau0, 700))
+        wgt1 = 1 - np.exp(-min(tau0, 700))
+        wgt *= wgt1
+        tau = -np.log(1 - rng.random() * wgt1) if tau0 > 0 else np.inf
+
+        while True:
+            rho = rhokap0 * voigt(x, a)
+            dist = tau / rho
+            dsurf = dist_to_surface(p, k)
+            if dist >= dsurf:
+                ix = int(np.floor((x - xmin_freq) / dxf))
+                if 0 <= ix < nxfreq:
+                    Jout[ix] += wgt
+                break
+            p = p + dist * k
+            nscatt += wgt
+            uz = rand_vz(rng, x, a)
+            x_atom = x - uz
+            xi = rng.random()
+            Q = (4 * xi - 2)
+            W = np.cbrt(Q + np.sqrt(Q * Q + 1))
+            cost_s = max(-1.0, min(1.0, W - 1 / W))
+            sint_s = np.sqrt(1 - cost_s ** 2)
+            phi = 2 * np.pi * rng.random()
+            phi2 = 2 * np.pi * rng.random()
+            uxy = np.sqrt(-np.log(rng.random()))
+            ux, uy = uxy * np.cos(phi2), uxy * np.sin(phi2)
+            x = x_atom + uz * cost_s + (ux * np.cos(phi)
+                                        + uy * np.sin(phi)) * sint_s
+            # rotate direction about k (reference formula)
+            cosp, sinp = np.cos(phi), np.sin(phi)
+            kx1, ky1, kz1 = k
+            if abs(kz1) >= 0.99999999999:
+                k = np.array([sint_s * cosp, sint_s * sinp,
+                              cost_s if kz1 > 0 else -cost_s])
+            else:
+                kr = np.sqrt(kx1 ** 2 + ky1 ** 2)
+                k = np.array([
+                    cost_s * kx1 + sint_s * (kz1 * kx1 * cosp - ky1 * sinp) / kr,
+                    cost_s * ky1 + sint_s * (kz1 * ky1 * cosp + kx1 * sinp) / kr,
+                    cost_s * kz1 - sint_s * cosp * kr])
+            k /= np.linalg.norm(k)
+            tau = -np.log(rng.random())
+        nscatt_tot += nscatt
+
+    xf = xmin_freq + (np.arange(nxfreq) + 0.5) * dxf
+    return xf, Jout, nscatt_tot / nphotons, dxf
