@@ -457,24 +457,53 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
         xc = jnp.where(atau > 1.0, jnp.cbrt(atau) / 5.0, 0.0)
         return xc, xc * xc
 
+    def _vz(k1, x0, a, active):
+        env = samplers.vz_envelope(x0, a)
+        acc = jnp.zeros_like(active)
+        uz = jnp.zeros_like(x0)
+        for i in range(par.scatter_rounds):
+            acc, uz = samplers.vz_round(jax.random.fold_in(k1, i),
+                                        env, acc, uz, active)
+        return acc, uz
+
+    def _branch_select(xi, P_down):
+        """Categorical draw over downward branches; returns idown array."""
+        idown = jnp.zeros_like(xi, dtype=jnp.int32)
+        cum = 0.0
+        chosen = jnp.zeros(xi.shape, bool)
+        for i, pd in enumerate(P_down):
+            cum += pd
+            hit = jnp.logical_and(~chosen, xi < cum)
+            idown = jnp.where(hit, i, idown)
+            chosen = jnp.logical_or(chosen, hit)
+        idown = jnp.where(chosen, idown, len(P_down) - 1)
+        return idown
+
+    def _branch_consts(idown, vals):
+        out = jnp.full(idown.shape, vals[0], jnp.float32)
+        for i in range(1, len(vals)):
+            out = jnp.where(idown == i, vals[i], out)
+        return out
+
     def redistribute(key, s, a_cell, D_cell, active):
-        """Line-type-dispatched frequency redistribution: returns
-        (accepted, uz, xfreq_atom, E1, dx_shift) where dx_shift is the
-        fluorescent/doublet frequency offset applied to the OUTGOING photon
-        frequency (do_resonance1..8, line_mod.f90:108-549)."""
+        """Line-type-dispatched frequency redistribution
+        (do_resonance1..6, _HD; line_mod.f90:108-549).
+
+        Returns (accepted, uz, xfreq_atom, E1, E2, E3, perp_scale,
+        g_recoil0_lane): xfreq_atom already carries fluorescent downward
+        shifts; perp_scale rescales the perpendicular atom-velocity kick
+        (H+D: D Doppler -> H Doppler units); g_recoil0_lane is the per-lane
+        recoil constant."""
         k1, k2, k3 = jax.random.split(key, 3)
+        ones = jnp.ones_like(s.xfreq)
+        g0 = jnp.full_like(s.xfreq, line.g_recoil0)
         if lt == 1:
-            env = samplers.vz_envelope(s.xfreq, a_cell)
-            acc = jnp.zeros_like(active)
-            uz = jnp.zeros_like(s.xfreq)
-            for i in range(par.scatter_rounds):
-                acc, uz = samplers.vz_round(jax.random.fold_in(k1, i),
-                                            env, acc, uz, active)
+            acc, uz = _vz(k1, s.xfreq, a_cell, active)
             xfreq_atom = s.xfreq - uz
             E1 = jnp.full_like(s.xfreq, line.E1)
             E2 = jnp.full_like(s.xfreq, line.E2)
             E3 = jnp.full_like(s.xfreq, line.E3)
-            return acc, uz, xfreq_atom, E1, E2, E3
+            return acc, uz, xfreq_atom, E1, E2, E3, ones, g0
         if lt == 2:
             # H/K doublet: choose upper state by profile weight
             # (do_resonance2, line_mod.f90:147-204)
@@ -484,12 +513,7 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             pH = pH / (pH + pK)
             isH = jax.random.uniform(k2, s.xfreq.shape) < pH
             x0 = jnp.where(isH, s.xfreq + DnuHK, s.xfreq)
-            env = samplers.vz_envelope(x0, a_cell)
-            acc = jnp.zeros_like(active)
-            uz = jnp.zeros_like(s.xfreq)
-            for i in range(par.scatter_rounds):
-                acc, uz = samplers.vz_round(jax.random.fold_in(k1, i),
-                                            env, acc, uz, active)
+            acc, uz = _vz(k1, x0, a_cell, active)
             xfreq_atom = s.xfreq - uz
             qH = xfreq_atom + DnuHK
             qK = xfreq_atom
@@ -497,7 +521,107 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 qK * qK + 2.0 * qH * qH, TINY)
             E2 = 1.0 - E1
             E3 = (E1 + 2.0) / 3.0
-            return acc, uz, xfreq_atom, E1, E2, E3
+            return acc, uz, xfreq_atom, E1, E2, E3, ones, g0
+        if lt == 4:
+            # single upward + fluorescent branches (do_resonance4,
+            # line_mod.f90:249-292)
+            acc, uz = _vz(k1, s.xfreq, a_cell, active)
+            xfreq_atom = s.xfreq - uz
+            br = line.branches[0]
+            xi = jax.random.uniform(k2, s.xfreq.shape)
+            idown = _branch_select(xi, br.P_down)
+            shift = _branch_consts(idown, br.Elow_Hz) / D_cell
+            xfreq_atom = xfreq_atom - shift
+            E1 = _branch_consts(idown, br.E1)
+            E2 = _branch_consts(idown, br.E2)
+            E3 = _branch_consts(idown, br.E3)
+            return acc, uz, xfreq_atom, E1, E2, E3, ones, g0
+        if lt in (5, 6):
+            # multi-upward selection by profile weight + downward branches
+            # (do_resonance5/6, line_mod.f90:347-478)
+            nup = line.nup
+            a1 = line.branches[0].damping
+            dxs = [line.delE_Hz[i] / D_cell for i in range(nup)]
+            vas = [a_cell * (line.branches[i].damping / a1)
+                   for i in range(nup)]
+            ps = [voigt(s.xfreq + dxs[i], vas[i]) * line.f12[i]
+                  for i in range(nup)]
+            ptot = sum(ps)
+            xi_up = jax.random.uniform(k2, s.xfreq.shape) * ptot
+            iup = jnp.zeros_like(s.ic)
+            cum = jnp.zeros_like(ptot)
+            chosen = jnp.zeros(s.xfreq.shape, bool)
+            for i in range(nup):
+                cum = cum + ps[i]
+                hit = jnp.logical_and(~chosen, xi_up < cum)
+                iup = jnp.where(hit, i, iup)
+                chosen = jnp.logical_or(chosen, hit)
+            x0 = s.xfreq
+            va = vas[0]
+            for i in range(1, nup):
+                x0 = jnp.where(iup == i, s.xfreq + dxs[i], x0)
+                va = jnp.where(iup == i, vas[i], va)
+            acc, uz = _vz(k1, x0, va, active)
+            xfreq_atom = s.xfreq - uz
+            xi_dn = jax.random.uniform(k3, s.xfreq.shape)
+            E1 = jnp.zeros_like(s.xfreq)
+            E2 = jnp.zeros_like(s.xfreq)
+            E3 = jnp.zeros_like(s.xfreq)
+            shift = jnp.zeros_like(s.xfreq)
+            for i in range(nup):
+                br = line.branches[i]
+                idown = _branch_select(xi_dn, br.P_down) if br.ndown > 1 \
+                    else jnp.zeros_like(s.ic)
+                sel = iup == i
+                if lt == 6 and par.HeI_coherent:
+                    pass  # E set below from the coherent formula
+                E1 = jnp.where(sel, _branch_consts(idown, br.E1), E1)
+                E2 = jnp.where(sel, _branch_consts(idown, br.E2), E2)
+                E3 = jnp.where(sel, _branch_consts(idown, br.E3), E3)
+                if br.ndown > 1:
+                    shift = jnp.where(
+                        sel, _branch_consts(idown, br.Elow_Hz) / D_cell,
+                        shift)
+            if lt == 6 and par.HeI_coherent:
+                # frequency-dependent coherent E weights
+                # (compute_HeI_E_coherent, line_mod.f90:8-34)
+                Dx2, Dx3 = dxs[1], dxs[2]
+                D2v = xfreq_atom
+                D1v = xfreq_atom + Dx2
+                D0v = xfreq_atom + Dx3
+                D2D0 = D2v * D0v
+                D2D1 = D2v * D1v
+                D0D1 = D0v * D1v
+                pqq = D2v * D0v * D1v
+                den = 4.0 * (D2D1 * D2D1 + 3.0 * D2D0 * D2D0
+                             + 5.0 * D0D1 * D0D1)
+                den = jnp.where(den == 0.0, 1.0, den)
+                E1 = (3.0 * D2D0 * D2D0 + 7.0 * D0D1 * D0D1
+                      + 8.0 * pqq * D1v + 18.0 * pqq * D0v) / den
+                E3 = (3.0 * D2D0 * D2D0 + 15.0 * D0D1 * D0D1
+                      + 8.0 * D2v * pqq + 10.0 * pqq * D0v) / den
+                E2 = 1.0 - E1
+            xfreq_atom = xfreq_atom - shift
+            return acc, uz, xfreq_atom, E1, E2, E3, ones, g0
+        if lt == 7:
+            # H + D Lyman-alpha (do_resonance_HD, line_mod.f90:476-549)
+            dx_HD = line.delta_nu_HD_Hz / D_cell
+            xfreq_D = (s.xfreq - dx_HD) * line.ratio_Dfreq_HD
+            pH = voigt(s.xfreq, a_cell)
+            pD = (cfg.par.D_to_H_ratio * line.ratio_Dfreq_HD
+                  * voigt(xfreq_D, a_cell * line.ratio_voigta_HD))
+            is_H = jax.random.uniform(k2, s.xfreq.shape) < pH / (pH + pD)
+            x0 = jnp.where(is_H, s.xfreq, xfreq_D)
+            va = jnp.where(is_H, a_cell, a_cell * line.ratio_voigta_HD)
+            acc, uz_raw = _vz(k1, x0, va, active)
+            uz = jnp.where(is_H, uz_raw, uz_raw / line.ratio_Dfreq_HD)
+            xfreq_atom = s.xfreq - uz
+            E1 = jnp.full_like(s.xfreq, line.E1)
+            E2 = jnp.full_like(s.xfreq, line.E2)
+            E3 = jnp.full_like(s.xfreq, line.E3)
+            perp = jnp.where(is_H, 1.0, 1.0 / line.ratio_Dfreq_HD)
+            g0d = jnp.where(is_H, line.g_recoil0, line.g_recoil0_D)
+            return acc, uz, xfreq_atom, E1, E2, E3, perp, g0d
         raise NotImplementedError(f'scatter for line_type {lt}')
 
     def scatter(state: BatchState, grid: GridDevice, tallies: Tallies, key,
@@ -521,7 +645,7 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
         is_res = jnp.logical_and(at_sc, ~is_dust)
 
         # ---------------- resonance branch ----------------
-        acc, uz, xfreq_atom, E1, E2, E3 = redistribute(
+        acc, uz, xfreq_atom, E1, E2, E3, perp_scale, g0_lane = redistribute(
             keys[0], s, a_cell, D_cell, is_res)
 
         xi = jax.random.uniform(keys[1], (6,) + s.x.shape, jnp.float32)
@@ -568,8 +692,8 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
         in_core = jnp.abs(s.xfreq) < xcrit
         phi2 = 2.0 * math.pi * xi[2]
         uxy = jnp.sqrt(jnp.where(in_core, xcrit2, 0.0) - jnp.log(xi[3]))
-        ux = uxy * jnp.cos(phi2)
-        uy = uxy * jnp.sin(phi2)
+        ux = uxy * jnp.cos(phi2) * perp_scale
+        uy = uxy * jnp.sin(phi2) * perp_scale
         xfreq_new = xfreq_atom + uz * cost + (ux * cosp + uy * sinp) * sint
 
         # peel BEFORE the direction/triad update, using the pre-scatter
@@ -582,8 +706,7 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 do_res, xfreq_atom, ux, uy, uz))
 
         if par.recoil:
-            g_recoil = line.g_recoil0 / D_cell
-            xfreq_new = xfreq_new - g_recoil * (1.0 - cost)
+            xfreq_new = xfreq_new - (g0_lane / D_cell) * (1.0 - cost)
 
         if par.use_stokes:
             # triad rotation (m, n, k) and Stokes update
