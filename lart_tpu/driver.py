@@ -111,11 +111,12 @@ def run(par: Params, *, seed: Optional[int] = None,
         # into a 4x smaller batch so the tail does not run at full-batch
         # cost (the longest-lived photon takes ~ln(B) * <N_scatt> cycles).
         if (launched >= nphotons and cur_B > min_B
-                and alive <= (cur_B // 4) * n_dev):
-            shrunk = _compact_shrink(state, n_dev, max(cur_B // 4, min_B), m)
+                and alive <= min_B * n_dev):
+            # shrink in ONE jump: each distinct batch size costs a compile
+            shrunk = _compact_shrink(state, n_dev, min_B, m)
             if shrunk is not None:
                 state = shrunk
-                cur_B = max(cur_B // 4, min_B)
+                cur_B = min_B
     exetime = time.time() - t0
 
     return normalize(cfg, meta, acc, nphotons, exetime_s=exetime,

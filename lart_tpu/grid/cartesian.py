@@ -84,6 +84,8 @@ class GridMeta:
     N_gasmax: float
     N_gashomo: float
     atau3: float
+    grid_type: str = 'cartesian'
+    levelmax: int = 0
 
     @property
     def xrange(self): return self.xmax - self.xmin

@@ -61,8 +61,10 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
     xmn, ymn, zmn = meta.xmin, meta.ymin, meta.zmin
     nxim, nyim, nxfreq = obs.nxim, obs.nyim, meta.nxfreq
 
-    from ..transport.engine import (cell_Dfreq, cell_velocity_dot,
-                                    cell_voigt_a, line_profile, _gather)
+    from ..transport.engine import (amr_descend_from_face, cell_Dfreq,
+                                    cell_rhokap, cell_rhokapD,
+                                    cell_velocity_dot, cell_voigt_a,
+                                    line_profile)
 
     # ------------------------------------------------------------------
     # tau to the grid edge along a fixed direction (per (nobs, B) lane)
@@ -115,42 +117,81 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
             (x, y, z, ic, jc, kc, kx, ky, kz, xf, tau, live), n = c
             a_cell = cell_voigt_a(grid, meta, ic, jc, kc)
             D_cell = cell_Dfreq(grid, meta, ic, jc, kc)
-            rk = _gather(grid.rhokap, meta, ic, jc, kc)
+            rk = cell_rhokap(grid, meta, ic, jc, kc)
             rho = rk * line_profile(cfg, xf, a_cell, D_cell)
             if meta.has_dust:
-                rho = rho + _gather(grid.rhokapD, meta, ic, jc, kc)
+                rho = rho + cell_rhokapD(grid, meta, ic, jc, kc)
 
-            tx = face_dist(x, kx, ic, xmn, dx, nx, skip_x)
-            ty = face_dist(y, ky, jc, ymn, dy, ny, skip_y)
-            tz = face_dist(z, kz, kc, zmn, dz, nz, False)
-            dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
-            axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
-            tau_n = jnp.where(live, tau + dmin * rho, tau)
+            if meta.grid_type == 'amr':
+                ccx = jnp.take(grid.node_cx, ic, mode='clip')
+                ccy = jnp.take(grid.node_cy, ic, mode='clip')
+                ccz = jnp.take(grid.node_cz, ic, mode='clip')
+                hh = jnp.take(grid.node_ch, ic, mode='clip')
 
-            stx = jnp.where(kx > 0, 1, -1)
-            sty = jnp.where(ky > 0, 1, -1)
-            stz = jnp.where(kz > 0, 1, -1)
-            ic2, xb, kx2, ex = cross(meta.bc_x, nx, xmn, xmx, meta.i0,
-                                     ic, x + dmin * kx, kx, stx)
-            jc2, yb, ky2, ey = cross(meta.bc_y, ny, ymn, ymx, meta.j0,
-                                     jc, y + dmin * ky, ky, sty)
-            kc2, zb, kz2, ez = cross(meta.bc_z, nz, zmn, zmx, meta.k0,
-                                     kc, z + dmin * kz, kz, stz)
-            cx = jnp.logical_and(live, axis == 0)
-            cy = jnp.logical_and(live, axis == 1)
-            cz = jnp.logical_and(live, axis == 2)
-            xn = jnp.where(cx, xb, jnp.where(live, x + dmin * kx, x))
-            yn = jnp.where(cy, yb, jnp.where(live, y + dmin * ky, y))
-            zn = jnp.where(cz, zb, jnp.where(live, z + dmin * kz, z))
-            icn = jnp.where(cx, ic2, ic)
-            jcn = jnp.where(cy, jc2, jc)
-            kcn = jnp.where(cz, kc2, kc)
-            kxn = jnp.where(cx, kx2, kx)
-            kyn = jnp.where(cy, ky2, ky)
-            kzn = jnp.where(cz, kz2, kz)
-            esc = jnp.logical_or(jnp.logical_or(
-                jnp.logical_and(cx, ex), jnp.logical_and(cy, ey)),
-                jnp.logical_and(cz, ez))
+                def axis_t(pos, k, c0):
+                    fc = c0 + jnp.where(k > 0, hh, -hh)
+                    t = (fc - pos) / jnp.where(jnp.abs(k) < 1e-12,
+                                               jnp.float32(1.0), k)
+                    return jnp.where(jnp.abs(k) < 1e-12, BIG,
+                                     jnp.maximum(t, 0.0))
+
+                tx = axis_t(x, kx, ccx)
+                ty = axis_t(y, ky, ccy)
+                tz = axis_t(z, kz, ccz)
+                dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
+                axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
+                tau_n = jnp.where(live, tau + dmin * rho, tau)
+                kax = jnp.where(axis == 0, kx, jnp.where(axis == 1, ky, kz))
+                face = axis * 2 + jnp.where(kax > 0, 0, 1)
+                fxp = ccx + jnp.where(kx > 0, hh, -hh)
+                fyp = ccy + jnp.where(ky > 0, hh, -hh)
+                fzp = ccz + jnp.where(kz > 0, hh, -hh)
+                xn = jnp.where(live,
+                               jnp.where(axis == 0, fxp, x + dmin * kx), x)
+                yn = jnp.where(live,
+                               jnp.where(axis == 1, fyp, y + dmin * ky), y)
+                zn = jnp.where(live,
+                               jnp.where(axis == 2, fzp, z + dmin * kz), z)
+                nb = jnp.take(grid.neighbor.reshape(-1),
+                              jnp.maximum(ic, 0) * 6 + face, mode='clip')
+                esc = jnp.logical_and(live, nb < 0)
+                icn = amr_descend_from_face(grid, meta, jnp.maximum(nb, 0),
+                                            face, xn, yn, zn)
+                icn = jnp.where(jnp.logical_and(live, ~esc), icn, ic)
+                jcn, kcn = jc, kc
+                kxn, kyn, kzn = kx, ky, kz
+            else:
+                tx = face_dist(x, kx, ic, xmn, dx, nx, skip_x)
+                ty = face_dist(y, ky, jc, ymn, dy, ny, skip_y)
+                tz = face_dist(z, kz, kc, zmn, dz, nz, False)
+                dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
+                axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
+                tau_n = jnp.where(live, tau + dmin * rho, tau)
+
+                stx = jnp.where(kx > 0, 1, -1)
+                sty = jnp.where(ky > 0, 1, -1)
+                stz = jnp.where(kz > 0, 1, -1)
+                ic2, xb, kx2, ex = cross(meta.bc_x, nx, xmn, xmx, meta.i0,
+                                         ic, x + dmin * kx, kx, stx)
+                jc2, yb, ky2, ey = cross(meta.bc_y, ny, ymn, ymx, meta.j0,
+                                         jc, y + dmin * ky, ky, sty)
+                kc2, zb, kz2, ez = cross(meta.bc_z, nz, zmn, zmx, meta.k0,
+                                         kc, z + dmin * kz, kz, stz)
+                cx = jnp.logical_and(live, axis == 0)
+                cy = jnp.logical_and(live, axis == 1)
+                cz = jnp.logical_and(live, axis == 2)
+                xn = jnp.where(cx, xb, jnp.where(live, x + dmin * kx, x))
+                yn = jnp.where(cy, yb, jnp.where(live, y + dmin * ky, y))
+                zn = jnp.where(cz, zb, jnp.where(live, z + dmin * kz, z))
+                icn = jnp.where(cx, ic2, ic)
+                jcn = jnp.where(cy, jc2, jc)
+                kcn = jnp.where(cz, kc2, kc)
+                kxn = jnp.where(cx, kx2, kx)
+                kyn = jnp.where(cy, ky2, ky)
+                kzn = jnp.where(cz, kz2, kz)
+                esc = jnp.logical_or(jnp.logical_or(
+                    jnp.logical_and(cx, ex), jnp.logical_and(cy, ey)),
+                    jnp.logical_and(cz, ez))
 
             if not meta.static_medium or not meta.uniform_temperature:
                 u1 = cell_velocity_dot(grid, meta, ic, jc, kc, kx, ky, kz)

@@ -38,7 +38,20 @@ def _put_attrs(g, kv):
 
 
 def write_output(filename: str, res: RunResult, nproc: int = 1) -> str:
-    """Write (or merge into) a LaRT-schema HDF5 output file."""
+    """Write (or merge into) the main output; also writes per-observer
+    _peel3D files when peeling was enabled (write_output_outside,
+    write_output_rect.f90:24-46)."""
+    out = _write_basic(filename, res, nproc)
+    if res.peel is not None:
+        base, ext = os.path.splitext(filename)
+        nobs = res.obs_meta.nobs
+        for k in range(nobs):
+            suffix = '' if nobs == 1 else f'_{k+1:03d}'
+            write_output_peeling_3D(f'{base}{suffix}_peel3D{ext}', res, k)
+    return out
+
+
+def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
     par = res.cfg.par
     meta = res.meta
 
@@ -112,6 +125,69 @@ def write_output(filename: str, res: RunResult, nproc: int = 1) -> str:
             'EXTNAME': 'Spectrum',
             'calc_P': False, 'calc_Pnew': False, 'calc_J': False,
         })
+    return filename
+
+
+def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
+    """Per-observer spectral image cube file (write_output_peeling_3D,
+    write_output_rect.f90:1003-1352): Scattered/Direct cubes with spectral +
+    TAN WCS keywords, Stokes I/Q/U/V cubes, RadialI and Stokes_radial
+    profiles."""
+    from ..instruments.profiles import (radial_axes, radial_intensity,
+                                        radial_stokes)
+    par = res.cfg.par
+    meta = res.meta
+    obs = res.obs_meta
+    bin_unit = meta.dwave if par.intensity_unit == 1 else meta.dxfreq
+    sc = res.peel['scatt'][iobs]
+    dr = res.peel['direc'][iobs]
+
+    lam0A = res.cfg.line.wavelength0 * 1e4
+    wcs = {
+        'CTYPE1': 'WAVE', 'CUNIT1': 'Angstrom',
+        'CRPIX1': 1.0, 'CRVAL1': float(res.wavelength[0]),
+        'CD1_1': float(res.wavelength[1] - res.wavelength[0])
+        if len(res.wavelength) > 1 else 0.0,
+        'CTYPE2': 'RA--TAN', 'CUNIT2': 'deg',
+        'CRPIX2': (obs.nxim + 1) / 2.0, 'CRVAL2': 0.0, 'CD2_2': obs.dxim,
+        'CTYPE3': 'DEC-TAN', 'CUNIT3': 'deg',
+        'CRPIX3': (obs.nyim + 1) / 2.0, 'CRVAL3': 0.0, 'CD3_3': obs.dyim,
+        'DISTANCE': obs.distance,
+        'Xfreq1': meta.xfreq_min, 'Xfreq2': meta.xfreq_max,
+        'Dxfreq': meta.dxfreq, 'Dwave': meta.dwave,
+        'I_unit': par.intensity_unit, 'Dfreq': meta.Dfreq_ref,
+        'nphotons': float(res.nphotons),
+    }
+    bp = np.float32 if par.out_bitpix == -32 else np.float64
+
+    with h5py.File(filename, 'w') as f:
+        g = f.create_group('Scattered')
+        g.create_dataset('data', data=sc.astype(bp))
+        _put_attrs(g, dict(wcs, EXTNAME='Scattered'))
+        g = f.create_group('Direct')
+        g.create_dataset('data', data=dr.astype(bp))
+        _put_attrs(g, dict(wcs, EXTNAME='Direct'))
+
+        r, rI = radial_intensity(sc, dr, bin_unit)
+        g = f.create_group('RadialI')
+        g.create_dataset('radius', data=r)
+        g.create_dataset('I', data=rI)
+        _put_attrs(g, {'EXTNAME': 'RadialI'})
+
+        if par.use_stokes and 'I' in res.peel:
+            for name in ('I', 'Q', 'U', 'V'):
+                g = f.create_group(f'Stokes_{name}')
+                g.create_dataset('data',
+                                 data=res.peel[name][iobs].astype(bp))
+                _put_attrs(g, dict(wcs, EXTNAME=f'Stokes_{name}'))
+            r, rI, rQ, rU, rV, pol = radial_stokes(
+                res.peel['I'][iobs], res.peel['Q'][iobs],
+                res.peel['U'][iobs], res.peel['V'][iobs], bin_unit)
+            g = f.create_group('Stokes_radial')
+            for nm, arr in (('radius', r), ('I', rI), ('Q', rQ), ('U', rU),
+                            ('V', rV), ('pol', pol)):
+                g.create_dataset(nm, data=arr)
+            _put_attrs(g, {'EXTNAME': 'Stokes_radial'})
     return filename
 
 

@@ -133,25 +133,108 @@ def _gather(arr, meta, i, j, k):
     return jnp.take(arr.reshape(-1), _flat(meta, i, j, k), mode='clip')
 
 
-def cell_voigt_a(grid: GridDevice, meta: GridMeta, i, j, k):
+def _leaf_of(grid, ic):
+    """AMR: leaf id of cell ic (-1 for internal/gap cells)."""
+    return jnp.take(grid.ileaf, ic, mode='clip')
+
+
+def _leaf_gather(arr, il, default):
+    """Gather per-leaf array with gap default."""
+    return jnp.where(il >= 0, jnp.take(arr, jnp.maximum(il, 0), mode='clip'),
+                     jnp.float32(default))
+
+
+def cell_voigt_a(grid, meta: GridMeta, i, j, k):
     if meta.uniform_temperature:
         return jnp.float32(meta.voigt_a_ref)
+    if meta.grid_type == 'amr':
+        return _leaf_gather(grid.voigt_a, _leaf_of(grid, i),
+                            meta.voigt_a_ref)
     return _gather(grid.voigt_a, meta, i, j, k)
 
 
-def cell_Dfreq(grid: GridDevice, meta: GridMeta, i, j, k):
+def cell_Dfreq(grid, meta: GridMeta, i, j, k):
     if meta.uniform_temperature:
         return jnp.float32(meta.Dfreq_ref)
+    if meta.grid_type == 'amr':
+        return _leaf_gather(grid.Dfreq, _leaf_of(grid, i), meta.Dfreq_ref)
     return _gather(grid.Dfreq, meta, i, j, k)
 
 
-def cell_velocity_dot(grid: GridDevice, meta: GridMeta, i, j, k, kx, ky, kz):
+def cell_rhokap(grid, meta: GridMeta, i, j, k):
+    if meta.grid_type == 'amr':
+        return _leaf_gather(grid.rhokap, _leaf_of(grid, i), 0.0)
+    return _gather(grid.rhokap, meta, i, j, k)
+
+
+def cell_rhokapD(grid, meta: GridMeta, i, j, k):
+    if meta.grid_type == 'amr':
+        return _leaf_gather(grid.rhokapD, _leaf_of(grid, i), 0.0)
+    return _gather(grid.rhokapD, meta, i, j, k)
+
+
+def cell_velocity_dot(grid, meta: GridMeta, i, j, k, kx, ky, kz):
     """u . k in local thermal units; 0 on the static fast path."""
     if meta.static_medium:
         return jnp.zeros_like(kx)
+    if meta.grid_type == 'amr':
+        il = _leaf_of(grid, i)
+        return (_leaf_gather(grid.vfx, il, 0.0) * kx
+                + _leaf_gather(grid.vfy, il, 0.0) * ky
+                + _leaf_gather(grid.vfz, il, 0.0) * kz)
     return (_gather(grid.vfx, meta, i, j, k) * kx
             + _gather(grid.vfy, meta, i, j, k) * ky
             + _gather(grid.vfz, meta, i, j, k) * kz)
+
+
+def amr_descend_from_face(grid, meta: GridMeta, nb, face, x, y, z):
+    """Descend from neighbor cell nb to the entered leaf/gap cell
+    (amr_next_leaf_or_gap, octree_mod.f90:772-822): the face-normal octant
+    bit is fixed topologically; transverse bits from position."""
+    axis = face // 2                     # 0=x, 1=y, 2=z
+    pos_bit = face % 2                   # 0: exited +face -> enter - side...
+    # face 0 (+x exit) -> enter dest -x side -> x bit 0; face 1 -> x bit 1
+    norm_bit = jnp.where(pos_bit == 1, 1, 0)
+
+    def body(_, cur):
+        is_leaf = jnp.take(grid.ileaf, cur, mode='clip') >= 0
+        cx = jnp.take(grid.node_cx, cur, mode='clip')
+        cy = jnp.take(grid.node_cy, cur, mode='clip')
+        cz = jnp.take(grid.node_cz, cur, mode='clip')
+        bx = jnp.where(axis == 0, norm_bit,
+                       (x >= cx).astype(jnp.int32))
+        by = jnp.where(axis == 1, norm_bit,
+                       (y >= cy).astype(jnp.int32))
+        bz = jnp.where(axis == 2, norm_bit,
+                       (z >= cz).astype(jnp.int32))
+        io = bx + 2 * by + 4 * bz
+        child = jnp.take(grid.children.reshape(-1),
+                         jnp.maximum(cur, 0) * 8 + io, mode='clip')
+        nxt = jnp.where(jnp.logical_or(is_leaf, child < 0), cur, child)
+        return jnp.where(cur < 0, cur, nxt)
+
+    return jax.lax.fori_loop(0, meta.levelmax + 1, body, nb)
+
+
+def amr_find_cell(grid, meta: GridMeta, x, y, z):
+    """Descend from the root to the deepest enclosing cell
+    (amr_find_enclosing_cell, octree_mod.f90:196-230)."""
+    root = jnp.zeros_like(jnp.asarray(x, jnp.float32)).astype(jnp.int32)
+
+    def body(_, cur):
+        is_leaf = jnp.take(grid.ileaf, cur, mode='clip') >= 0
+        cx = jnp.take(grid.node_cx, cur, mode='clip')
+        cy = jnp.take(grid.node_cy, cur, mode='clip')
+        cz = jnp.take(grid.node_cz, cur, mode='clip')
+        io = ((x >= cx).astype(jnp.int32)
+              + 2 * (y >= cy).astype(jnp.int32)
+              + 4 * (z >= cz).astype(jnp.int32))
+        child = jnp.take(grid.children.reshape(-1), cur * 8 + io,
+                         mode='clip')
+        nxt = jnp.where(jnp.logical_or(is_leaf, child < 0), cur, child)
+        return nxt
+
+    return jax.lax.fori_loop(0, meta.levelmax + 1, body, root)
 
 
 def line_profile(cfg: ResolvedConfig, xfreq, a_cell, Dfreq_cell):
@@ -185,6 +268,8 @@ def line_profile(cfg: ResolvedConfig, xfreq, a_cell, Dfreq_cell):
 # ---------------------------------------------------------------------------
 
 def make_fly(cfg: ResolvedConfig, meta: GridMeta):
+    if meta.grid_type == 'amr':
+        return make_fly_amr(cfg, meta)
     par = cfg.par
     nx, ny, nz = meta.nx, meta.ny, meta.nz
     dx, dy, dz = meta.dx, meta.dy, meta.dz
@@ -225,11 +310,11 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
         raise ValueError(bc)
 
     def total_opacity(grid, xfreq, i, j, k, a_cell, Dfreq_cell):
-        rk = _gather(grid.rhokap, meta, i, j, k)
+        rk = cell_rhokap(grid, meta, i, j, k)
         H = line_profile(cfg, xfreq, a_cell, Dfreq_cell)
         rho = rk * H
         if meta.has_dust:
-            rho = rho + _gather(grid.rhokapD, meta, i, j, k)
+            rho = rho + cell_rhokapD(grid, meta, i, j, k)
         return rho
 
     def fly(state: BatchState, grid: GridDevice, tallies: Tallies,
@@ -406,6 +491,171 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
     return fly
 
 
+def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
+    """AMR traversal: per step, exit the current octree cell through one of
+    its 6 faces, hop via the precomputed neighbor table, and descend to the
+    entered leaf (or gap cell, traversed with zero opacity) -- the
+    gather-friendly linear-octree walk (raytrace_amr.f90:77-263,
+    octree_mod.f90:412-822).  Lane state reuses BatchState with ic = octree
+    CELL index (jc/kc unused)."""
+    par = cfg.par
+
+    def fly(state: BatchState, grid, tallies: Tallies, max_steps: int):
+
+        def cond(carry):
+            s, rec, n = carry
+            flying = jnp.logical_or(s.phase == FLYING, s.phase == FFS)
+            return jnp.logical_and(n < max_steps, jnp.any(flying))
+
+        def body(carry):
+            s, rec, n = carry
+            esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+            is_ffs = s.phase == FFS
+            moving = jnp.logical_or(s.phase == FLYING, is_ffs)
+
+            a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
+            D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
+            rk = cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
+            rho = rk * line_profile(cfg, s.xfreq, a_cell, D_cell)
+            if meta.has_dust:
+                rho = rho + cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
+
+            cx = jnp.take(grid.node_cx, s.ic, mode='clip')
+            cy = jnp.take(grid.node_cy, s.ic, mode='clip')
+            cz = jnp.take(grid.node_cz, s.ic, mode='clip')
+            h = jnp.take(grid.node_ch, s.ic, mode='clip')
+
+            def axis_t(pos, k, c):
+                face = c + jnp.where(k > 0, h, -h)
+                t = (face - pos) / jnp.where(jnp.abs(k) < 1e-12,
+                                             jnp.float32(1.0), k)
+                return jnp.where(jnp.abs(k) < 1e-12, BIG,
+                                 jnp.maximum(t, 0.0))
+
+            tx = axis_t(s.x, s.kx, cx)
+            ty = axis_t(s.y, s.ky, cy)
+            tz = axis_t(s.z, s.kz, cz)
+            dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
+            axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
+            # face convention: 0=+x 1=-x 2=+y 3=-y 4=+z 5=-z
+            kax = jnp.where(axis == 0, s.kx, jnp.where(axis == 1, s.ky, s.kz))
+            face = axis * 2 + jnp.where(kax > 0, 0, 1)
+
+            tgt = jnp.where(is_ffs, jnp.float32(FFS_TAU_CAP), s.tau_target)
+            dtau = dmin * rho
+            hit = s.tau_run + dtau >= tgt
+            d_hit = (tgt - s.tau_run) / jnp.maximum(rho, TINY)
+            d_adv = jnp.where(hit, d_hit, dmin)
+
+            xn = s.x + d_adv * s.kx
+            yn = s.y + d_adv * s.ky
+            zn = s.z + d_adv * s.kz
+            tau_n = jnp.where(hit, tgt, s.tau_run + dtau)
+
+            crossed = jnp.logical_and(moving, ~hit)
+            # snap the crossed coordinate to the face plane
+            fx = cx + jnp.where(s.kx > 0, h, -h)
+            fy = cy + jnp.where(s.ky > 0, h, -h)
+            fz = cz + jnp.where(s.kz > 0, h, -h)
+            x_new = jnp.where(jnp.logical_and(crossed, axis == 0), fx, xn)
+            y_new = jnp.where(jnp.logical_and(crossed, axis == 1), fy, yn)
+            z_new = jnp.where(jnp.logical_and(crossed, axis == 2), fz, zn)
+
+            nb = jnp.take(grid.neighbor.reshape(-1),
+                          jnp.maximum(s.ic, 0) * 6 + face, mode='clip')
+            escaped = jnp.logical_and(crossed, nb < 0)
+            ic_new = amr_descend_from_face(grid, meta, jnp.maximum(nb, 0),
+                                           face, x_new, y_new, z_new)
+            ic_new = jnp.where(crossed, jnp.where(escaped, s.ic, ic_new),
+                               s.ic)
+
+            # comoving frequency update on cell change
+            changed = jnp.logical_and(crossed, ~escaped)
+            if not meta.static_medium or not meta.uniform_temperature:
+                u1 = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                       s.kx, s.ky, s.kz)
+                u2 = cell_velocity_dot(grid, meta, ic_new, s.jc, s.kc,
+                                       s.kx, s.ky, s.kz)
+                D2 = cell_Dfreq(grid, meta, ic_new, s.jc, s.kc)
+                xf_new = (s.xfreq + u1) * D_cell / D2 - u2
+                xfreq_new = jnp.where(changed, xf_new, s.xfreq)
+            else:
+                xfreq_new = s.xfreq
+
+            # escape tally (lab-frame bin at the last in-grid cell)
+            esc_fly = jnp.logical_and(escaped, s.phase == FLYING)
+            esc_ffs = jnp.logical_and(escaped, is_ffs)
+            ffs_done = jnp.logical_or(esc_ffs, jnp.logical_and(hit, is_ffs))
+
+            u_esc = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                      s.kx, s.ky, s.kz)
+            xfreq_lab = (s.xfreq + u_esc) * (D_cell / meta.Dfreq_ref)
+            ix = jnp.floor((xfreq_lab - meta.xfreq_min)
+                           / meta.dxfreq).astype(jnp.int32)
+            in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
+            rec_e = jnp.logical_and(esc_fly, in_rng)
+            esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
+                                 esc_ix_r)
+            esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
+
+            # FFS completion at birth cell
+            tau0 = tau_n
+            aD_b = cell_Dfreq(grid, meta, s.bic, s.bjc, s.bkc)
+            u_b = cell_velocity_dot(grid, meta, s.bic, s.bjc, s.bkc,
+                                    s.bkx, s.bky, s.bkz)
+            xfreq_lab_b = (s.bxfreq + u_b) * (aD_b / meta.Dfreq_ref)
+            ixb = jnp.floor((xfreq_lab_b - meta.xfreq_min)
+                            / meta.dxfreq).astype(jnp.int32)
+            inb = jnp.logical_and(ixb >= 0, ixb < meta.nxfreq)
+            wgt_esc = s.wgt * jnp.exp(-tau0)
+            rec_f = jnp.logical_and(ffs_done, inb)
+            ffs_ix_r = jnp.where(rec_f, jnp.clip(ixb, 0, meta.nxfreq - 1),
+                                 ffs_ix_r)
+            ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
+
+            wgt1 = 1.0 - jnp.exp(-tau0)
+            ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
+            phase_new = jnp.where(
+                esc_fly, DEAD,
+                jnp.where(ffs_vacuum, DEAD,
+                          jnp.where(ffs_done, FLYING,
+                                    jnp.where(jnp.logical_and(hit, ~is_ffs),
+                                              AT_SCATTER, s.phase))))
+
+            def rb(cur, birth):
+                return jnp.where(ffs_done, birth, cur)
+
+            s2 = s._replace(
+                phase=jnp.where(moving, phase_new, s.phase),
+                x=rb(jnp.where(moving, x_new, s.x), s.bx),
+                y=rb(jnp.where(moving, y_new, s.y), s.by),
+                z=rb(jnp.where(moving, z_new, s.z), s.bz),
+                ic=rb(jnp.where(moving, ic_new, s.ic), s.bic),
+                kx=rb(s.kx, s.bkx), ky=rb(s.ky, s.bky), kz=rb(s.kz, s.bkz),
+                xfreq=rb(jnp.where(moving, xfreq_new, s.xfreq), s.bxfreq),
+                wgt=jnp.where(ffs_done, s.wgt * wgt1, s.wgt),
+                tau_run=jnp.where(ffs_done, 0.0,
+                                  jnp.where(moving, tau_n, s.tau_run)),
+                tau_target=jnp.where(
+                    ffs_done,
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                               * wgt1),
+                    s.tau_target),
+            )
+            return s2, (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r), n + 1
+
+        B = state.x.shape[0]
+        rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+        state, rec, _ = jax.lax.while_loop(
+            cond, body, (state, rec0, jnp.int32(0)))
+        esc_ix, esc_w, ffs_ix, ffs_w = rec
+        Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
+        return state, tallies._replace(Jout=Jout)
+
+    return fly
+
+
 # ---------------------------------------------------------------------------
 # Scatter: resonance (+ dust) event processing
 # ---------------------------------------------------------------------------
@@ -438,21 +688,31 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
         return kx2 * norm, ky2 * norm, kz2 * norm
 
     def local_xcrit(grid, s):
-        """Cell-local core-skip threshold (grid_mod_car.f90:1598-1629)."""
+        """Cell-local core-skip threshold (grid_mod_car.f90:1598-1629;
+        AMR: octree_mod.f90:248-283)."""
         if not par.core_skip:
             return jnp.zeros_like(s.x), jnp.zeros_like(s.x)
         if par.core_skip_global:
             return (jnp.full_like(s.x, meta.xcrit),
                     jnp.full_like(s.x, meta.xcrit2))
-        fx = meta.xmin + s.ic.astype(jnp.float32) * meta.dx
-        fy = meta.ymin + s.jc.astype(jnp.float32) * meta.dy
-        fz = meta.zmin + s.kc.astype(jnp.float32) * meta.dz
-        dlx = jnp.minimum(s.x - fx, fx + meta.dx - s.x)
-        dly = jnp.minimum(s.y - fy, fy + meta.dy - s.y)
-        dlz = jnp.minimum(s.z - fz, fz + meta.dz - s.z)
-        dl = jnp.minimum(jnp.minimum(dlx, dly), dlz)
+        if meta.grid_type == 'amr':
+            cx = jnp.take(grid.node_cx, s.ic, mode='clip')
+            cy = jnp.take(grid.node_cy, s.ic, mode='clip')
+            cz = jnp.take(grid.node_cz, s.ic, mode='clip')
+            h = jnp.take(grid.node_ch, s.ic, mode='clip')
+            dl = h - jnp.maximum(jnp.maximum(jnp.abs(s.x - cx),
+                                             jnp.abs(s.y - cy)),
+                                 jnp.abs(s.z - cz))
+        else:
+            fx = meta.xmin + s.ic.astype(jnp.float32) * meta.dx
+            fy = meta.ymin + s.jc.astype(jnp.float32) * meta.dy
+            fz = meta.zmin + s.kc.astype(jnp.float32) * meta.dz
+            dlx = jnp.minimum(s.x - fx, fx + meta.dx - s.x)
+            dly = jnp.minimum(s.y - fy, fy + meta.dy - s.y)
+            dlz = jnp.minimum(s.z - fz, fz + meta.dz - s.z)
+            dl = jnp.minimum(jnp.minimum(dlx, dly), dlz)
         a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
-        rk = _gather(grid.rhokap, meta, s.ic, s.jc, s.kc)
+        rk = cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
         atau = a_cell * rk * jnp.maximum(dl, 0.0)
         xc = jnp.where(atau > 1.0, jnp.cbrt(atau) / 5.0, 0.0)
         return xc, xc * xc
@@ -634,8 +894,8 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
         keys = jax.random.split(key, 8)
         # --- event split: dust vs resonance (scattering_car.f90:108-120)
         if meta.has_dust:
-            rk = _gather(grid.rhokap, meta, s.ic, s.jc, s.kc)
-            rkD = _gather(grid.rhokapD, meta, s.ic, s.jc, s.kc)
+            rk = cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
+            rkD = cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
             H = line_profile(cfg, s.xfreq, a_cell, D_cell)
             p_dust = rkD / jnp.maximum(rk * H + rkD, TINY)
             is_dust = jnp.logical_and(
@@ -901,13 +1161,19 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
         ky = sint * jnp.sin(phi)
         kz = cost
 
-        # cell indices with edge fixes (generate_photon.f90:381-390)
-        ic = jnp.floor((x - meta.xmin) / meta.dx).astype(jnp.int32)
-        jc = jnp.floor((y - meta.ymin) / meta.dy).astype(jnp.int32)
-        kc = jnp.floor((z - meta.zmin) / meta.dz).astype(jnp.int32)
-        ic = jnp.clip(ic, 0, meta.nx - 1)
-        jc = jnp.clip(jc, 0, meta.ny - 1)
-        kc = jnp.clip(kc, 0, meta.nz - 1)
+        # cell indices with edge fixes (generate_photon.f90:381-390);
+        # AMR: octree descent to the enclosing cell
+        if meta.grid_type == 'amr':
+            ic = amr_find_cell(grid, meta, x, y, z)
+            jc = jnp.zeros_like(ic)
+            kc = jnp.zeros_like(ic)
+        else:
+            ic = jnp.floor((x - meta.xmin) / meta.dx).astype(jnp.int32)
+            jc = jnp.floor((y - meta.ymin) / meta.dy).astype(jnp.int32)
+            kc = jnp.floor((z - meta.zmin) / meta.dz).astype(jnp.int32)
+            ic = jnp.clip(ic, 0, meta.nx - 1)
+            jc = jnp.clip(jc, 0, meta.ny - 1)
+            kc = jnp.clip(kc, 0, meta.nz - 1)
 
         D_loc = cell_Dfreq(grid, meta, ic, jc, kc)
         a_loc = cell_voigt_a(grid, meta, ic, jc, kc)

@@ -36,7 +36,16 @@ def run_case(tau0, T, nphotons, core_skip=False, seed=5, nz=201,
         core_skip=core_skip, batch_size=batch, fly_substeps=8,
         scatter_rounds=4, chunk_cycles=chunk_cycles, refill_every=4)
     t0 = time.time()
-    res = driver.run(par, seed=seed)
+    last = [time.time()]
+
+    def prog(l, n, a):
+        now = time.time()
+        if now - last[0] > 30:
+            print(f"   ... launched {l}/{n} alive {a} t={now-t0:.0f}s",
+                  flush=True)
+            last[0] = now
+
+    res = driver.run(par, seed=seed, progress=prog)
     wall = time.time() - t0
 
     a = res.cfg.voigt_a_ref
@@ -79,11 +88,11 @@ if __name__ == '__main__':
     os.makedirs('results', exist_ok=True)
     cases = []
     # tau0=1e4, T=10 K: a*tau0 = 149 -- marginally in the Neufeld regime
-    cases.append(run_case(1e4, 10.0, 40_000))
+    cases.append(run_case(1e4, 10.0, 20_000))
     print(json.dumps({k: v for k, v in cases[-1].items()
                       if k not in ('x', 'J_model', 'J_neufeld')}), flush=True)
     # tau0=1e5, T=10 K: a*tau0 = 1490 -- Neufeld regime; with core-skip
-    cases.append(run_case(1e5, 10.0, 20_000, core_skip=True))
+    cases.append(run_case(1e5, 10.0, 10_000, core_skip=True))
     print(json.dumps({k: v for k, v in cases[-1].items()
                       if k not in ('x', 'J_model', 'J_neufeld')}), flush=True)
     with open('results/neufeld_r1.json', 'w') as fh:
