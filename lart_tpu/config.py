@@ -401,6 +401,18 @@ def resolve(par: Params) -> ResolvedConfig:
     line = lines_mod.get_line(par.line_id, par.fine_structure,
                               par.include_deuterium)
 
+    # Mueller-matrix dust table: an explicit scatt_mat_file (or, for
+    # Stokes+dust runs, the bundled table nearest in wavelength) overrides
+    # albedo/hgg/cext_dust (setup_scattering_matrix, setup.f90:581-649)
+    if par.DGR > 0.0 and (par.scatt_mat_file.strip() or par.use_stokes):
+        from .physics.mueller import default_mueller_file, load_mueller
+        mpath = par.scatt_mat_file.strip() or             default_mueller_file(line.wavelength0)
+        if mpath:
+            mmeta, _ = load_mueller(mpath)
+            par = dataclasses.replace(par, albedo=mmeta.albedo,
+                                      hgg=mmeta.hgg, cext_dust=mmeta.cext,
+                                      scatt_mat_file=mpath)
+
     # geometry defaults: sphere sets rmax, slab uses z extent
     geom = par.geometry.strip().lower()
     if geom == 'sphere' and par.rmax <= 0.0:

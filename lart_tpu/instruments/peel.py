@@ -374,26 +374,80 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
             out = out._replace(I=I, Q=Q, U=U, V=V)
         return out
 
+    mueller = None
+    if par.use_stokes and meta.has_dust:
+        from ..physics import mueller as mueller_mod
+        mpath = par.scatt_mat_file.strip() or \
+            mueller_mod.default_mueller_file(line.wavelength0)
+        if mpath is not None:
+            mueller = mueller_mod.load_mueller(mpath)
+
     def peel_dust(cubes: PeelCubes, grid, odev, s, active):
-        """Dust HG peel (peeling_dust_nostokes_outside,
-        peelingoff_rect.f90:484-575)."""
+        """Dust peel: HG phase (peeling_dust_nostokes_outside,
+        peelingoff_rect.f90:484-575) or tabulated Mueller matrix with
+        detector-frame Stokes rotation (peeling_dust_stokes_outside,
+        :131-283)."""
         scatt = cubes.scatt
+        I, Q, U, V = cubes.I, cubes.Q, cubes.U, cubes.V
         g = par.hgg
         for o in range(obs.nobs):
             pk, r2, (ix, iy), in_img = obs_geometry(odev, o, s)
             cosa = s.kx * pk[0] + s.ky * pk[1] + s.kz * pk[2]
-            peel = (1.0 - g * g) / (1.0 + g * g - 2.0 * g * cosa) ** 1.5 \
-                / FOURPI
             ixf, okf = freq_bin(grid, s, pk, s.xfreq)
             act = jnp.logical_and(active, in_img)
             tau = tau_to_edge(grid, s.x, s.y, s.z, s.ic, s.jc, s.kc,
                               pk[0], pk[1], pk[2], s.xfreq, act, max_steps)
-            w = peel / r2 * jnp.exp(-jnp.minimum(tau, 700.0)) * s.wgt
+            atten = jnp.exp(-jnp.minimum(tau, 700.0))
             idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1),
                            jnp.clip(ix, 0, nxim - 1),
                            jnp.clip(iy, 0, nyim - 1))
-            scatt = scatt.at[idx].add(
-                jnp.where(jnp.logical_and(act, okf), w, 0.0))
-        return cubes._replace(scatt=scatt)
+            okdep = jnp.logical_and(act, okf)
+            if mueller is not None:
+                from ..physics.mueller import interp_S
+                mmeta, mdev = mueller
+                sint_o = jnp.sqrt(jnp.maximum(1.0 - cosa * cosa, 0.0))
+                sint_safe = jnp.maximum(sint_o, 1e-20)
+                cosp = (pk[0] * s.mx + pk[1] * s.my
+                        + pk[2] * s.mz) / sint_safe
+                sinp = (pk[0] * s.nnx + pk[1] * s.nny
+                        + pk[2] * s.nnz) / sint_safe
+                cosp = jnp.where(sint_o == 0.0, 1.0, cosp)
+                sinp = jnp.where(sint_o == 0.0, 0.0, sinp)
+                c2p = 2.0 * cosp * cosp - 1.0
+                s2p = 2.0 * cosp * sinp
+                dS11, dS12, dS33, dS34 = interp_S(mdev, mmeta, cosa)
+                Q0 = c2p * s.Q + s2p * s.U
+                U0 = -s2p * s.Q + c2p * s.U
+                TWOPI = 2.0 * math.pi
+                Iobs = (dS11 + dS12 * Q0) / TWOPI
+                Qobs = (dS12 + dS11 * Q0) / TWOPI
+                Uobs = (dS33 * U0 + dS34 * s.V) / TWOPI
+                Vobs = (-dS34 * U0 + dS33 * s.V) / TWOPI
+                pnx = -sinp * s.mx + cosp * s.nnx
+                pny = -sinp * s.my + cosp * s.nny
+                pnz = -sinp * s.mz + cosp * s.nnz
+                R = odev.rmat[o]
+                cosg = -(R[0, 0] * pnx + R[0, 1] * pny + R[0, 2] * pnz)
+                sing = (R[1, 0] * pnx + R[1, 1] * pny + R[1, 2] * pnz)
+                c2g = 2.0 * cosg * cosg - 1.0
+                s2g = 2.0 * cosg * sing
+                Qdet = c2g * Qobs + s2g * Uobs
+                Udet = -s2g * Qobs + c2g * Uobs
+                w = atten / r2 * s.wgt
+                depI = jnp.where(okdep, w * Iobs, 0.0)
+                scatt = scatt.at[idx].add(depI)
+                I = I.at[idx].add(depI)
+                Q = Q.at[idx].add(jnp.where(okdep, w * Qdet, 0.0))
+                U = U.at[idx].add(jnp.where(okdep, w * Udet, 0.0))
+                V = V.at[idx].add(jnp.where(okdep, w * Vobs, 0.0))
+            else:
+                peel = (1.0 - g * g) \
+                    / (1.0 + g * g - 2.0 * g * cosa) ** 1.5 / FOURPI
+                w = peel / r2 * atten * s.wgt
+                scatt = scatt.at[idx].add(jnp.where(okdep, w, 0.0))
+        out = cubes._replace(scatt=scatt)
+        if mueller is not None:
+            out = out._replace(I=I, Q=Q, U=U, V=V)
+        return out
 
     return peel_direct, peel_resonance, peel_dust

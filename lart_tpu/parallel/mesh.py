@@ -43,7 +43,15 @@ def sharded_chunk(chunk_fn, mesh: Mesh):
     chunk_fn(state, grid, key, n_shard) -> (state, tallies, alive, launched)
     Batch arrays are sharded along 'data'; grid is replicated; returned
     tallies/alive/launched are psum-med over ICI and replicated.
+
+    Single-device meshes skip shard_map/psum entirely: collectives are
+    pointless there and some experimental TPU transports compile collective
+    programs orders of magnitude slower than plain programs.
     """
+    if len(mesh.devices.ravel()) == 1:
+        def single(state, grid, key, n_shard, odev):
+            return chunk_fn(state, grid, key, n_shard, odev)
+        return jax.jit(single)
 
     def wrapped(state, grid, key, n_shard, odev):
         # decorrelate device RNG streams

@@ -664,10 +664,15 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                  peel_resonance=None, peel_dust=None):
     par, line = cfg.par, cfg.line
     lt = line.line_type
+    mueller = None
     if par.use_stokes and meta.has_dust:
-        raise NotImplementedError(
-            'Stokes dust scattering (Mueller tables) lands with the peeling '
-            'instruments; run with use_stokes=False or DGR=0 for now')
+        from ..physics import mueller as mueller_mod
+        mpath = par.scatt_mat_file.strip() or \
+            mueller_mod.default_mueller_file(line.wavelength0)
+        if mpath is None:
+            raise RuntimeError('Stokes dust scattering requires a Mueller '
+                               'table (scatt_mat_file)')
+        mueller = mueller_mod.load_mueller(mpath)
 
     def rotate_direction(kx, ky, kz, cost, sint, cosp, sinp):
         """New propagation vector from scattering angles about (kx,ky,kz)
@@ -1007,16 +1012,64 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             kx_n, ky_n, kz_n = rotate_direction(s.kx, s.ky, s.kz,
                                                 cost, sint, cosp, sinp)
 
-        # ---------------- dust branch (scatter_dust_nostokes) -------------
+        # ---------------- dust branch (scatter_dust_[no]stokes) -----------
         if meta.has_dust:
             absorbed = jnp.logical_and(
                 is_dust, xi[4] > par.albedo) if not par.use_reduced_wgt \
                 else jnp.zeros_like(is_dust)
             dust_sc = jnp.logical_and(is_dust, ~absorbed)
-            cost_d = samplers.rand_henyey_greenstein(xi[5], par.hgg)
-            sint_d = jnp.sqrt(jnp.maximum(1.0 - cost_d * cost_d, 0.0))
-            kx_d, ky_d, kz_d = rotate_direction(s.kx, s.ky, s.kz, cost_d,
-                                                sint_d, cosp, sinp)
+            if mueller is not None:
+                # tabulated Mueller matrix scattering
+                # (scatter_dust_stokes, scattering_car.f90:201-330)
+                mmeta, mdev = mueller
+                from ..physics.mueller import interp_S, sample_cost
+                cost_d = sample_cost(keys[7], mdev, s.x.shape)
+                sint_d = jnp.sqrt(jnp.maximum(1.0 - cost_d * cost_d, 0.0))
+                dS11, dS12, dS33, dS34 = interp_S(mdev, mmeta, cost_d)
+                dS12o = dS12 / jnp.maximum(dS11, TINY)
+                pmag_d = jnp.sqrt(s.Q * s.Q + s.U * s.U)
+                accp = jnp.zeros_like(is_dust)
+                phi_d = jnp.zeros_like(s.x)
+                for i in range(par.scatter_rounds):
+                    xph = jax.random.uniform(
+                        jax.random.fold_in(keys[5], i), (2,) + s.x.shape,
+                        jnp.float32)
+                    phi_p = 2.0 * math.pi * xph[0]
+                    Prand = (1.0 + jnp.abs(dS12o) * pmag_d) * xph[1]
+                    Pcomp = 1.0 + dS12o * (s.Q * jnp.cos(2.0 * phi_p)
+                                           + s.U * jnp.sin(2.0 * phi_p))
+                    take = jnp.logical_and(~accp, Prand <= Pcomp)
+                    phi_d = jnp.where(take, phi_p, phi_d)
+                    accp = jnp.logical_or(accp, take)
+                dust_sc = jnp.logical_and(dust_sc, accp)
+                cosp_d = jnp.cos(phi_d)
+                sinp_d = jnp.sin(phi_d)
+                # triad rotation + Mueller Stokes update
+                pxd = cosp_d * s.mx + sinp_d * s.nnx
+                pyd = cosp_d * s.my + sinp_d * s.nny
+                pzd = cosp_d * s.mz + sinp_d * s.nnz
+                nxd = cosp_d * s.nnx - sinp_d * s.mx
+                nyd = cosp_d * s.nny - sinp_d * s.my
+                nzd = cosp_d * s.nnz - sinp_d * s.mz
+                mxd = cost_d * pxd - sint_d * s.kx
+                myd = cost_d * pyd - sint_d * s.ky
+                mzd = cost_d * pzd - sint_d * s.kz
+                kx_d = sint_d * pxd + cost_d * s.kx
+                ky_d = sint_d * pyd + cost_d * s.ky
+                kz_d = sint_d * pzd + cost_d * s.kz
+                c2pd = 2.0 * cosp_d * cosp_d - 1.0
+                s2pd = 2.0 * sinp_d * cosp_d
+                Q0d = c2pd * s.Q + s2pd * s.U
+                U0d = -s2pd * s.Q + c2pd * s.U
+                I1d = jnp.maximum(dS11 + dS12 * Q0d, TINY)
+                Qd_n = (dS12 + dS11 * Q0d) / I1d
+                Ud_n = (dS33 * U0d + dS34 * s.V) / I1d
+                Vd_n = (-dS34 * U0d + dS33 * s.V) / I1d
+            else:
+                cost_d = samplers.rand_henyey_greenstein(xi[5], par.hgg)
+                sint_d = jnp.sqrt(jnp.maximum(1.0 - cost_d * cost_d, 0.0))
+                kx_d, ky_d, kz_d = rotate_direction(s.kx, s.ky, s.kz, cost_d,
+                                                    sint_d, cosp, sinp)
             # Jabs tally at lab-frame frequency
             u_loc = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                       s.kx, s.ky, s.kz)
@@ -1082,6 +1135,18 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 nny=jnp.where(do_res, ny_n, s.nny),
                 nnz=jnp.where(do_res, nz_n, s.nnz),
             )
+            if mueller is not None:
+                s2 = s2._replace(
+                    Q=jnp.where(dust_sc, Qd_n, s2.Q),
+                    U=jnp.where(dust_sc, Ud_n, s2.U),
+                    V=jnp.where(dust_sc, Vd_n, s2.V),
+                    mx=jnp.where(dust_sc, mxd, s2.mx),
+                    my=jnp.where(dust_sc, myd, s2.my),
+                    mz=jnp.where(dust_sc, mzd, s2.mz),
+                    nnx=jnp.where(dust_sc, nxd, s2.nnx),
+                    nny=jnp.where(dust_sc, nyd, s2.nny),
+                    nnz=jnp.where(dust_sc, nzd, s2.nnz),
+                )
         t2 = t._replace(nscatt_gas=t.nscatt_gas
                         + jnp.sum(jnp.where(do_res, s.wgt, 0.0)))
         return s2, t2
