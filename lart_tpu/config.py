@@ -257,6 +257,12 @@ class Params:
     rotation_center_z: float = NAN
     save_direc0: bool = False
 
+    # --- in-medium mean-intensity / scattering-rate maps (the reference's
+    # compile-time -DCALCJ/-DCALCP/-DCALCPnew switches, made runtime)
+    calcJ: bool = False
+    calcP: bool = False
+    calcPnew: bool = False
+
     # --- TPU batch-engine knobs (new; no reference counterpart)
     batch_size: int = 1 << 17       # photon lanes per device
     fly_substeps: int = 8           # DDA cell-steps per jitted cycle

@@ -70,6 +70,14 @@ def run(par: Params, *, seed: Optional[int] = None,
         'nscatt_gas': 0.0,
         'nscatt_dust': 0.0,
     }
+    if par.save_Jmu:
+        acc['Jmu'] = np.zeros(meta.nxfreq * par.nmu, np.float64)
+    if par.calcJ and meta.nbin_JPa:
+        acc['J1'] = np.zeros(meta.nxfreq * meta.nbin_JPa, np.float64)
+    if par.calcP and meta.nbin_JPa:
+        acc['Pa'] = np.zeros(meta.nbin_JPa, np.float64)
+    if par.calcPnew and meta.nbin_JPa:
+        acc['Pnew'] = np.zeros(meta.nbin_JPa, np.float64)
     if obs_meta is not None:
         cube_n = obs_meta.nobs * meta.nxfreq * obs_meta.nxim * obs_meta.nyim
         acc['peel_scatt'] = np.zeros(cube_n, np.float64)
@@ -92,6 +100,18 @@ def run(par: Params, *, seed: Optional[int] = None,
         acc['Jabs'] += tl.Jabs
         acc['nscatt_gas'] += float(tl.nscatt_gas)
         acc['nscatt_dust'] += float(tl.nscatt_dust)
+        acc['W_H2abs'] = acc.get('W_H2abs', 0.0) + float(tl.W_H2abs)
+        acc['W_H2scat'] = acc.get('W_H2scat', 0.0) + float(tl.W_H2scat)
+        acc['W_H2pump'] = acc.get('W_H2pump', np.zeros(2)) \
+            + np.asarray(tl.W_H2pump, np.float64)
+        if par.save_Jmu:
+            acc['Jmu'] += np.asarray(tl.Jmu, np.float64)
+        if 'J1' in acc:
+            acc['J1'] += np.asarray(tl.J1, np.float64)
+        if 'Pa' in acc:
+            acc['Pa'] += np.asarray(tl.Pa, np.float64)
+        if 'Pnew' in acc:
+            acc['Pnew'] += np.asarray(tl.Pnew, np.float64)
         if obs_meta is not None:
             acc['peel_scatt'] += tl.peel.scatt
             acc['peel_direc'] += tl.peel.direc

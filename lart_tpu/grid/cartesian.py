@@ -86,6 +86,12 @@ class GridMeta:
     atau3: float
     grid_type: str = 'cartesian'
     levelmax: int = 0
+    # CALCJ/P binning (create_JPa_mem, grid_mod_car.f90:1242-1440):
+    # geometry_JPa: 1 = spherical radial, -1 = plane-parallel z, 3 = 3-D
+    geometry_JPa: int = 0
+    nbin_JPa: int = 0
+    dr_JPa: float = 0.0
+    roff_JPa: float = 0.0
 
     @property
     def xrange(self): return self.xmax - self.xmin
@@ -376,6 +382,22 @@ def build_cartesian(cfg: ResolvedConfig):
         xi_, chi = (0.6, 1.2) if atau0 <= 60.0 else (1.4, 0.6)
         xcrit = 0.02 * math.exp(xi_ * (math.log(atau0)) ** chi)
 
+    # CALCJ/P binning geometry
+    geometry_JPa, nbin_JPa, dr_JPa, roff_JPa = 0, 0, 0.0, 0.0
+    if par.calcJ or par.calcP or par.calcPnew:
+        if par.xy_periodic or (nx == 1 and ny == 1):
+            geometry_JPa, nbin_JPa = -1, nz
+        elif geom == 'sphere' or par.rmax > 0:
+            nr = max(nx, ny, nz)
+            nr = nr // 2 if nr % 2 == 0 else (nr - 1) // 2 + 1
+            if max(nx, ny, nz) % 2 == 0:
+                dr_JPa, roff_JPa = par.rmax / nr, 0.0
+            else:
+                dr_JPa, roff_JPa = par.rmax / (nr - 0.5), -par.rmax / (nr - 0.5) / 2.0
+            geometry_JPa, nbin_JPa = 1, nr
+        else:
+            geometry_JPa, nbin_JPa = 3, nx * ny * nz
+
     meta = GridMeta(
         nx=nx, ny=ny, nz=nz, dx=dx, dy=dy, dz=dz,
         xmin=xmin, ymin=ymin, zmin=zmin, xmax=xmax, ymax=ymax, zmax=zmax,
@@ -391,7 +413,9 @@ def build_cartesian(cfg: ResolvedConfig):
         taupole_dust=float(taupole_dust), tauhomo_dust=float(tauhomo_dust),
         N_gasmax=float(N_gasmax_in if N_gasmax_in > 0 else N_gaspole),
         N_gashomo=float(N_gashomo_in if N_gashomo_in > 0 else N_gashomo),
-        atau3=float(atau3))
+        atau3=float(atau3),
+        geometry_JPa=geometry_JPa, nbin_JPa=nbin_JPa,
+        dr_JPa=float(dr_JPa), roff_JPa=float(roff_JPa))
 
     f32 = lambda x: jnp.asarray(x, jnp.float32) if x is not None else None
     dev = GridDevice(

@@ -64,7 +64,8 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
     from ..transport.engine import (amr_descend_from_face, cell_Dfreq,
                                     cell_rhokap, cell_rhokapD,
                                     cell_velocity_dot, cell_voigt_a,
-                                    line_profile)
+                                    h2_setup, line_profile)
+    h2 = h2_setup(cfg)
 
     # ------------------------------------------------------------------
     # tau to the grid edge along a fixed direction (per (nobs, B) lane)
@@ -119,6 +120,9 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
             D_cell = cell_Dfreq(grid, meta, ic, jc, kc)
             rk = cell_rhokap(grid, meta, ic, jc, kc)
             rho = rk * line_profile(cfg, xf, a_cell, D_cell)
+            if h2 is not None:
+                from ..physics.h2 import h2_kappa
+                rho = rho + rk * h2_kappa(h2, xf, D_cell)
             if meta.has_dust:
                 rho = rho + cell_rhokapD(grid, meta, ic, jc, kc)
 

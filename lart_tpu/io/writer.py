@@ -123,8 +123,45 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
             'nx': meta.nx, 'ny': meta.ny, 'nz': meta.nz,
             'xmax': par.xmax, 'ymax': par.ymax, 'zmax': par.zmax,
             'EXTNAME': 'Spectrum',
-            'calc_P': False, 'calc_Pnew': False, 'calc_J': False,
+            'calc_P': par.calcP, 'calc_Pnew': par.calcPnew,
+            'calc_J': par.calcJ,
         })
+        if par.h2_model.strip().lower() not in ('', 'none'):
+            _put_attrs(g, {
+                'H2MODEL': par.h2_model, 'H2FH2': par.f_H2,
+                'H2TEMP': par.h2_temperature, 'H2NLINE': 2,
+                'H2ABS': res.W_H2abs, 'H2SCAT': res.W_H2scat,
+                'H2PUMP1': float(res.W_H2pump[0])
+                if res.W_H2pump is not None else 0.0,
+                'H2PUMP2': float(res.W_H2pump[1])
+                if res.W_H2pump is not None else 0.0,
+            })
+        for nm, arr, ext in (('J1', res.J1, 'Jx_1D'), ('Pa', res.Pa,
+                             'Pa_1D' if res.meta.geometry_JPa != 3
+                             else 'Pa_3D'),
+                             ('Pnew', res.Pnew, 'Pa_1D_new')):
+            if arr is None:
+                continue
+            gp = f.create_group(ext)
+            data = arr
+            if ext == 'Pa_3D':
+                data = arr.reshape(res.meta.nx, res.meta.ny, res.meta.nz)
+            gp.create_dataset('data', data=np.asarray(data, bp))
+            if res.r_JPa is not None and ext != 'Pa_3D':
+                gp.create_dataset('radius', data=res.r_JPa)
+            _put_attrs(gp, {'EXTNAME': ext,
+                            'geom_JPa': res.meta.geometry_JPa})
+        if res.Jmu is not None:
+            gm = f.create_group('Jmu')
+            gm.create_dataset('data', data=res.Jmu.astype(bp))
+            mu_min = 0.0 if par.xyz_symmetry else -1.0
+            dmu = (1.0 - mu_min) / par.nmu
+            _put_attrs(gm, {
+                'EXTNAME': 'Jmu', 'CTYPE1': 'XFREQ', 'CRPIX1': 1.0,
+                'CRVAL1': meta.xfreq_min + 0.5 * meta.dxfreq,
+                'CDELT1': meta.dxfreq, 'CTYPE2': 'MU', 'CRPIX2': 1.0,
+                'CRVAL2': mu_min + 0.5 * dmu, 'CDELT2': dmu,
+                'nmu': par.nmu, 'mu_min': mu_min, 'dmu': dmu})
     return filename
 
 

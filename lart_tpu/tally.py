@@ -37,10 +37,45 @@ class RunResult:
     # peel cubes: dict name -> (nobs, nxfreq, nxim, nyim) arrays, normalized
     peel: Optional[dict] = None
     obs_meta: object = None
+    Jmu: Optional[np.ndarray] = None       # (nxfreq, nmu)
+    W_H2abs: float = 0.0                   # per photon
+    W_H2scat: float = 0.0
+    W_H2pump: Optional[np.ndarray] = None
+    J1: Optional[np.ndarray] = None        # (nxfreq, nbin) mean intensity
+    Pa: Optional[np.ndarray] = None        # (nbin,) scattering rate per atom
+    Pnew: Optional[np.ndarray] = None      # (nbin,)
+    r_JPa: Optional[np.ndarray] = None     # bin-center coordinate
 
     @property
     def line(self):
         return self.cfg.line
+
+
+def _jpa_counts(cfg: ResolvedConfig, meta: GridMeta):
+    """Cells per CALCJ/P bin + bin-center coordinates (ncount_sph/
+    ncount_plane, grid_mod_car.f90:1300-1440)."""
+    par = cfg.par
+    g = meta.geometry_JPa
+    if g == -1:
+        z = meta.zmin + (np.arange(meta.nz) + 0.5) * meta.dz
+        return np.full(meta.nz, meta.nx * meta.ny, np.float64), z
+    if g == 1:
+        xs = meta.xmin + (np.arange(meta.nx) + 0.5) * meta.dx
+        ys = meta.ymin + (np.arange(meta.ny) + 0.5) * meta.dy
+        zs = meta.zmin + (np.arange(meta.nz) + 0.5) * meta.dz
+        X, Y, Z = np.meshgrid(xs, ys, zs, indexing='ij')
+        rr = np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+        ib = np.floor((rr - meta.roff_JPa) / meta.dr_JPa).astype(int)
+        sel = (ib >= 0) & (ib < meta.nbin_JPa)
+        ncount = np.bincount(ib[sel], minlength=meta.nbin_JPa
+                             ).astype(np.float64)[:meta.nbin_JPa]
+        r = meta.roff_JPa + (np.arange(meta.nbin_JPa) + 0.5) * meta.dr_JPa
+        return ncount, r
+    if g == 3:
+        return np.ones(meta.nbin_JPa, np.float64), \
+            np.arange(meta.nbin_JPa, dtype=np.float64)
+    return np.ones(max(meta.nbin_JPa, 1), np.float64), \
+        np.arange(max(meta.nbin_JPa, 1), dtype=np.float64)
 
 
 def spectral_axes(cfg: ResolvedConfig, meta: GridMeta):
@@ -102,6 +137,36 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
         peel = {k[5:]: raw[k].reshape(shape) / scale
                 for k in raw if k.startswith('peel_')}
 
+    # Jmu: each mu bin normalized to equal Jout for a homogeneous isotropic
+    # field (output_sum_rect.f90:188-190)
+    Jmu = None
+    if 'Jmu' in raw:
+        Jmu = raw['Jmu'].reshape(meta.nxfreq, par.nmu) * par.nmu / denom
+        if (par.spectral_type.strip() in ('continuum', 'continuum+gaussian')
+                and par.continuum_normalize and Jin is not None):
+            pass  # scale folded into Jin-based scale above when applicable
+
+    # CALCJ/P normalization (output_sum_rect.f90:300-345): dVol = cell
+    # volume; per-bin cell counts; slab uses the area factor
+    J1 = Pa = Pnew = r_JPa = None
+    if meta.nbin_JPa and any(k in raw for k in ('J1', 'Pa', 'Pnew')):
+        dVol = meta.dx * meta.dy * meta.dz * distance2cm ** 2
+        ncount, r_JPa = _jpa_counts(cfg, meta)
+        if par.xy_periodic:
+            areaJ = meta.xrange * meta.yrange * distance2cm ** 2
+            facJ = areaJ / (FOURPI * dVol * nphotons * bin_unit)
+            facP = areaJ / (dVol * nphotons)
+        else:
+            facJ = 1.0 / (FOURPI * dVol * nphotons * bin_unit)
+            facP = 1.0 / (dVol * nphotons)
+        nc = np.maximum(ncount, 1)
+        if 'J1' in raw:
+            J1 = raw['J1'].reshape(meta.nxfreq, meta.nbin_JPa) / nc * facJ
+        if 'Pa' in raw:
+            Pa = raw['Pa'] / nc * facP
+        if 'Pnew' in raw:
+            Pnew = raw['Pnew'] / nc * facP
+
     return RunResult(
         cfg=cfg, meta=meta, nphotons=nphotons,
         xfreq=xfreq, velocity=velocity, wavelength=wavelength,
@@ -109,4 +174,9 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
         nscatt_gas=raw['nscatt_gas'] / nphotons,
         nscatt_dust=raw['nscatt_dust'] / nphotons,
         nscatt_tot=(raw['nscatt_gas'] + raw['nscatt_dust']) / nphotons,
-        exetime_s=exetime_s, peel=peel, obs_meta=obs_meta)
+        exetime_s=exetime_s, peel=peel, obs_meta=obs_meta, Jmu=Jmu,
+        J1=J1, Pa=Pa, Pnew=Pnew, r_JPa=r_JPa,
+        W_H2abs=raw.get('W_H2abs', 0.0) / nphotons,
+        W_H2scat=raw.get('W_H2scat', 0.0) / nphotons,
+        W_H2pump=(raw['W_H2pump'] / nphotons
+                  if 'W_H2pump' in raw else None))

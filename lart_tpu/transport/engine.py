@@ -98,6 +98,13 @@ class Tallies(NamedTuple):
     Jabs: jnp.ndarray
     nscatt_gas: jnp.ndarray     # () f32
     nscatt_dust: jnp.ndarray
+    W_H2abs: jnp.ndarray        # () f32: Lya destroyed by H2 fluorescence
+    W_H2scat: jnp.ndarray       # () f32: H2 resonance-scatter events
+    W_H2pump: jnp.ndarray       # (2,) f32: pumping weight per H2 line
+    Jmu: object = None          # (nxfreq*nmu,) f32 or None (save_Jmu)
+    J1: object = None           # (nxfreq*nbin,) mean intensity J(x) (calcJ)
+    Pa: object = None           # (nbin,) scattering rate per atom (calcP)
+    Pnew: object = None         # (nbin,) tau-weighted rate (calcPnew)
     peel: object = None         # PeelCubes or None
 
 
@@ -114,10 +121,22 @@ def init_state(batch: int) -> BatchState:
                       n_launched=jnp.zeros((1,), jnp.int32))
 
 
-def zero_tallies(nxfreq: int, peel=None) -> Tallies:
+def zero_tallies(nxfreq: int, peel=None, nmu: int = 0,
+                 nbin_JPa: int = 0, calcJ=False, calcP=False,
+                 calcPnew=False) -> Tallies:
     z = jnp.zeros((nxfreq,), jnp.float32)
     return Tallies(Jin=z, Jout=z, Jabs=z,
                    nscatt_gas=jnp.float32(0.0), nscatt_dust=jnp.float32(0.0),
+                   W_H2abs=jnp.float32(0.0), W_H2scat=jnp.float32(0.0),
+                   W_H2pump=jnp.zeros((2,), jnp.float32),
+                   Jmu=jnp.zeros((nxfreq * nmu,), jnp.float32)
+                   if nmu > 0 else None,
+                   J1=jnp.zeros((nxfreq * nbin_JPa,), jnp.float32)
+                   if calcJ and nbin_JPa else None,
+                   Pa=jnp.zeros((nbin_JPa,), jnp.float32)
+                   if calcP and nbin_JPa else None,
+                   Pnew=jnp.zeros((nbin_JPa,), jnp.float32)
+                   if calcPnew and nbin_JPa else None,
                    peel=peel)
 
 
@@ -237,6 +256,46 @@ def amr_find_cell(grid, meta: GridMeta, x, y, z):
     return jax.lax.fori_loop(0, meta.levelmax + 1, body, root)
 
 
+def jpa_bin(cfg: ResolvedConfig, meta: GridMeta, s_or_pos):
+    """CALCJ/P deposit bin (add_to_J/add_to_Pa convention): geometry -1 ->
+    z-cell index; 1 -> radial bin of the CELL CENTER (Cartesian) or of the
+    position (AMR); 3 -> flat cell index."""
+    x, y, z, ic, jc, kc = s_or_pos
+    g = meta.geometry_JPa
+    if g == -1:
+        return jnp.clip(kc, 0, meta.nbin_JPa - 1)
+    if g == 1:
+        if meta.grid_type == 'amr':
+            rr = jnp.sqrt(x * x + y * y + z * z)
+        else:
+            cx = meta.xmin + (ic.astype(jnp.float32) + 0.5) * meta.dx
+            cy = meta.ymin + (jc.astype(jnp.float32) + 0.5) * meta.dy
+            cz = meta.zmin + (kc.astype(jnp.float32) + 0.5) * meta.dz
+            rr = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+        return jnp.clip(jnp.floor((rr - meta.roff_JPa)
+                                  / meta.dr_JPa).astype(jnp.int32),
+                        0, meta.nbin_JPa - 1)
+    if g == 3:
+        return jnp.clip((ic * meta.ny + jc) * meta.nz + kc, 0,
+                        meta.nbin_JPa - 1)
+    raise NotImplementedError(f'geometry_JPa {g}')
+
+
+def rhokap_phys(cfg, grid, meta, i, j, k):
+    """Physical scatterer column factor: rhokap * Dfreq / cross0
+    (add_to_Pa, scattering_car.f90:842-847)."""
+    return (cell_rhokap(grid, meta, i, j, k)
+            * cell_Dfreq(grid, meta, i, j, k) / cfg.line.cross0)
+
+
+def h2_setup(cfg: ResolvedConfig):
+    if cfg.par.h2_model.strip().lower() in ('', 'none'):
+        return None
+    from ..physics.h2 import h2_init
+    ddir = cfg.par.h2_data_dir.strip() or None
+    return h2_init(cfg.par, cfg.line, ddir)
+
+
 def line_profile(cfg: ResolvedConfig, xfreq, a_cell, Dfreq_cell):
     """Dimensionless opacity profile H_eff (calc_voigt dispatch,
     reference src/line_mod.f90:38-106), specialized on line_type."""
@@ -309,13 +368,29 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             return nidx, pos, k, out_hi
         raise ValueError(bc)
 
+    h2 = h2_setup(cfg)
+
     def total_opacity(grid, xfreq, i, j, k, a_cell, Dfreq_cell):
         rk = cell_rhokap(grid, meta, i, j, k)
         H = line_profile(cfg, xfreq, a_cell, Dfreq_cell)
-        rho = rk * H
+        rhoH = rk * H
+        rho = rhoH
+        if h2 is not None:
+            from ..physics.h2 import h2_kappa
+            rho = rho + rk * h2_kappa(h2, xfreq, Dfreq_cell)
         if meta.has_dust:
             rho = rho + cell_rhokapD(grid, meta, i, j, k)
-        return rho
+        return rho, rhoH
+
+    save_Jmu = par.save_Jmu
+    mu_min = 0.0 if par.xyz_symmetry else -1.0
+    dmu = (1.0 - mu_min) / par.nmu
+
+    def mu_bin(kz):
+        """Escape polar-angle bin (add_to_Jmu; run_simulation_mod.f90:219-226)."""
+        mu = jnp.abs(kz) if par.xyz_symmetry else kz
+        return jnp.clip(jnp.floor((mu - mu_min) / dmu).astype(jnp.int32),
+                        0, par.nmu - 1)
 
     def fly(state: BatchState, grid: GridDevice, tallies: Tallies,
             max_steps: int):
@@ -333,14 +408,19 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
 
         def body(carry):
             s, rec, n = carry
-            esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+            rec, (J1_c, Pn_c) = rec
+            if save_Jmu:
+                (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
+                 esc_mu_r, ffs_mu_r) = rec
+            else:
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
             is_ffs = s.phase == FFS
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
 
             a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
             D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
-            rho = total_opacity(grid, s.xfreq, s.ic, s.jc, s.kc,
-                                a_cell, D_cell)
+            rho, rhoH = total_opacity(grid, s.xfreq, s.ic, s.jc, s.kc,
+                                      a_cell, D_cell)
 
             tx = face_dist(s.x, s.kx, s.ic, xmn, dx) if nx > 1 or meta.bc_x == 'escape' else BIG
             ty = face_dist(s.y, s.ky, s.jc, ymn, dy) if ny > 1 or meta.bc_y == 'escape' else BIG
@@ -361,6 +441,27 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             yn = s.y + d_adv * s.ky
             zn = s.z + d_adv * s.kz
             tau_n = jnp.where(hit, tgt, s.tau_run + dtau)
+
+            # --- CALCJ / CALCPnew path-segment deposits (add_to_J /
+            # add_to_Pnew, raytrace_car.f90:3979-4046); gated -- costs one
+            # in-loop scatter-add per enabled map
+            if par.calcJ or par.calcPnew:
+                seg_ok = jnp.logical_and(moving, rhoH > 0.0)
+                binp = jpa_bin(cfg, meta, (s.x, s.y, s.z, s.ic, s.jc, s.kc))
+                if par.calcJ:
+                    xrf = s.xfreq * (D_cell / meta.Dfreq_ref)
+                    ixr = jnp.floor((xrf - meta.xfreq_min)
+                                    / meta.dxfreq).astype(jnp.int32)
+                    okf = jnp.logical_and(seg_ok, jnp.logical_and(
+                        ixr >= 0, ixr < meta.nxfreq))
+                    J1_c = J1_c.at[jnp.clip(ixr, 0, meta.nxfreq - 1)
+                                   * meta.nbin_JPa + binp].add(
+                        jnp.where(okf, d_adv * s.wgt, 0.0))
+                if par.calcPnew:
+                    rkp = rhokap_phys(cfg, grid, meta, s.ic, s.jc, s.kc)
+                    Pn_c = Pn_c.at[binp].add(jnp.where(
+                        seg_ok, d_adv * rhoH * s.wgt
+                        / jnp.maximum(rkp, TINY), 0.0))
 
             # --- face crossing with boundary ops (only when not hit)
             stx = jnp.where(s.kx > 0, 1, -1)
@@ -421,6 +522,8 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)
             esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
+            if save_Jmu:
+                esc_mu_r = jnp.where(rec_e, mu_bin(s.kz), esc_mu_r)
 
             # --- FFS completion: tally escaped fraction at BIRTH lab-frame
             # frequency, restart lane from birth with reduced weight
@@ -438,6 +541,8 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             ffs_ix_r = jnp.where(rec_f, jnp.clip(ixb, 0, meta.nxfreq - 1),
                                  ffs_ix_r)
             ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
+            if save_Jmu:
+                ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
 
             wgt1 = 1.0 - jnp.exp(-tau0)
             # degenerate birth in vacuum: tau0 == 0 -> photon escapes freely
@@ -477,16 +582,36 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
                                * wgt1),
                     s.tau_target),
             )
-            return s2, (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r), n + 1
+            rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+            return s2, (rec2, (J1_c, Pn_c)), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
                 jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
-        state, rec, _ = jax.lax.while_loop(
-            cond, body, (state, rec0, jnp.int32(0)))
-        esc_ix, esc_w, ffs_ix, ffs_w = rec
+        if save_Jmu:
+            rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
+                           jnp.zeros((B,), jnp.int32))
+        J1_0 = tallies.J1 if tallies.J1 is not None \
+            else jnp.zeros((1,), jnp.float32)
+        Pn_0 = tallies.Pnew if tallies.Pnew is not None \
+            else jnp.zeros((1,), jnp.float32)
+        state, rec_jpa, _ = jax.lax.while_loop(
+            cond, body, (state, (rec0, (J1_0, Pn_0)), jnp.int32(0)))
+        rec, (J1_f, Pn_f) = rec_jpa
+        if tallies.J1 is not None:
+            tallies = tallies._replace(J1=J1_f)
+        if tallies.Pnew is not None:
+            tallies = tallies._replace(Pnew=Pn_f)
+        esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
         Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
-        return state, tallies._replace(Jout=Jout)
+        tallies = tallies._replace(Jout=Jout)
+        if save_Jmu:
+            esc_mu, ffs_mu = rec[4], rec[5]
+            Jmu = tallies.Jmu.at[esc_ix * par.nmu + esc_mu].add(esc_w) \
+                .at[ffs_ix * par.nmu + ffs_mu].add(ffs_w)
+            tallies = tallies._replace(Jmu=Jmu)
+        return state, tallies
 
     return fly
 
@@ -499,6 +624,15 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
     octree_mod.f90:412-822).  Lane state reuses BatchState with ic = octree
     CELL index (jc/kc unused)."""
     par = cfg.par
+    h2 = h2_setup(cfg)
+    save_Jmu = par.save_Jmu
+    mu_min = 0.0 if par.xyz_symmetry else -1.0
+    dmu = (1.0 - mu_min) / par.nmu
+
+    def mu_bin(kz):
+        mu = jnp.abs(kz) if par.xyz_symmetry else kz
+        return jnp.clip(jnp.floor((mu - mu_min) / dmu).astype(jnp.int32),
+                        0, par.nmu - 1)
 
     def fly(state: BatchState, grid, tallies: Tallies, max_steps: int):
 
@@ -509,14 +643,23 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
 
         def body(carry):
             s, rec, n = carry
-            esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+            rec, (J1_c, Pn_c) = rec
+            if save_Jmu:
+                (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
+                 esc_mu_r, ffs_mu_r) = rec
+            else:
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
             is_ffs = s.phase == FFS
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
 
             a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
             D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
             rk = cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
-            rho = rk * line_profile(cfg, s.xfreq, a_cell, D_cell)
+            rhoH = rk * line_profile(cfg, s.xfreq, a_cell, D_cell)
+            rho = rhoH
+            if h2 is not None:
+                from ..physics.h2 import h2_kappa
+                rho = rho + rk * h2_kappa(h2, s.xfreq, D_cell)
             if meta.has_dust:
                 rho = rho + cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
 
@@ -551,6 +694,27 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             yn = s.y + d_adv * s.ky
             zn = s.z + d_adv * s.kz
             tau_n = jnp.where(hit, tgt, s.tau_run + dtau)
+
+            # --- CALCJ / CALCPnew path-segment deposits (add_to_J /
+            # add_to_Pnew, raytrace_car.f90:3979-4046); gated -- costs one
+            # in-loop scatter-add per enabled map
+            if par.calcJ or par.calcPnew:
+                seg_ok = jnp.logical_and(moving, rhoH > 0.0)
+                binp = jpa_bin(cfg, meta, (s.x, s.y, s.z, s.ic, s.jc, s.kc))
+                if par.calcJ:
+                    xrf = s.xfreq * (D_cell / meta.Dfreq_ref)
+                    ixr = jnp.floor((xrf - meta.xfreq_min)
+                                    / meta.dxfreq).astype(jnp.int32)
+                    okf = jnp.logical_and(seg_ok, jnp.logical_and(
+                        ixr >= 0, ixr < meta.nxfreq))
+                    J1_c = J1_c.at[jnp.clip(ixr, 0, meta.nxfreq - 1)
+                                   * meta.nbin_JPa + binp].add(
+                        jnp.where(okf, d_adv * s.wgt, 0.0))
+                if par.calcPnew:
+                    rkp = rhokap_phys(cfg, grid, meta, s.ic, s.jc, s.kc)
+                    Pn_c = Pn_c.at[binp].add(jnp.where(
+                        seg_ok, d_adv * rhoH * s.wgt
+                        / jnp.maximum(rkp, TINY), 0.0))
 
             crossed = jnp.logical_and(moving, ~hit)
             # snap the crossed coordinate to the face plane
@@ -597,6 +761,8 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)
             esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
+            if save_Jmu:
+                esc_mu_r = jnp.where(rec_e, mu_bin(s.kz), esc_mu_r)
 
             # FFS completion at birth cell
             tau0 = tau_n
@@ -612,6 +778,8 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             ffs_ix_r = jnp.where(rec_f, jnp.clip(ixb, 0, meta.nxfreq - 1),
                                  ffs_ix_r)
             ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
+            if save_Jmu:
+                ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
 
             wgt1 = 1.0 - jnp.exp(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
@@ -642,16 +810,36 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
                                * wgt1),
                     s.tau_target),
             )
-            return s2, (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r), n + 1
+            rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+            return s2, (rec2, (J1_c, Pn_c)), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
                 jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
-        state, rec, _ = jax.lax.while_loop(
-            cond, body, (state, rec0, jnp.int32(0)))
-        esc_ix, esc_w, ffs_ix, ffs_w = rec
+        if save_Jmu:
+            rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
+                           jnp.zeros((B,), jnp.int32))
+        J1_0 = tallies.J1 if tallies.J1 is not None \
+            else jnp.zeros((1,), jnp.float32)
+        Pn_0 = tallies.Pnew if tallies.Pnew is not None \
+            else jnp.zeros((1,), jnp.float32)
+        state, rec_jpa, _ = jax.lax.while_loop(
+            cond, body, (state, (rec0, (J1_0, Pn_0)), jnp.int32(0)))
+        rec, (J1_f, Pn_f) = rec_jpa
+        if tallies.J1 is not None:
+            tallies = tallies._replace(J1=J1_f)
+        if tallies.Pnew is not None:
+            tallies = tallies._replace(Pnew=Pn_f)
+        esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
         Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
-        return state, tallies._replace(Jout=Jout)
+        tallies = tallies._replace(Jout=Jout)
+        if save_Jmu:
+            esc_mu, ffs_mu = rec[4], rec[5]
+            Jmu = tallies.Jmu.at[esc_ix * par.nmu + esc_mu].add(esc_w) \
+                .at[ffs_ix * par.nmu + ffs_mu].add(ffs_w)
+            tallies = tallies._replace(Jmu=Jmu)
+        return state, tallies
 
     return fly
 
@@ -664,6 +852,7 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                  peel_resonance=None, peel_dust=None):
     par, line = cfg.par, cfg.line
     lt = line.line_type
+    h2 = h2_setup(cfg)
     mueller = None
     if par.use_stokes and meta.has_dust:
         from ..physics import mueller as mueller_mod
@@ -896,18 +1085,36 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
         a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
         D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
 
-        keys = jax.random.split(key, 8)
-        # --- event split: dust vs resonance (scattering_car.f90:108-120)
-        if meta.has_dust:
+        keys = jax.random.split(key, 10)
+        # --- event split: H2 / dust / resonance (scattering_car.f90:92-120)
+        kap_HI = None
+        if h2 is not None or meta.has_dust:
             rk = cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
-            rkD = cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
-            H = line_profile(cfg, s.xfreq, a_cell, D_cell)
-            p_dust = rkD / jnp.maximum(rk * H + rkD, TINY)
+            kap_HI = rk * line_profile(cfg, s.xfreq, a_cell, D_cell)
+        if h2 is not None:
+            from ..physics.h2 import h2_kappa
+            kap_H2 = rk * h2_kappa(h2, s.xfreq, D_cell)
+        else:
+            kap_H2 = 0.0
+        if meta.has_dust:
+            kap_D = cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
+        else:
+            kap_D = 0.0
+        if h2 is not None:
+            ktot = jnp.maximum(kap_HI + kap_H2 + kap_D, TINY)
+            is_h2 = jnp.logical_and(
+                at_sc,
+                jax.random.uniform(keys[8], s.x.shape) * ktot <= kap_H2)
+        else:
+            is_h2 = jnp.zeros_like(at_sc)
+        if meta.has_dust:
+            p_dust = kap_D / jnp.maximum(kap_HI + kap_D, TINY)
             is_dust = jnp.logical_and(
-                at_sc, jax.random.uniform(keys[6], s.x.shape) <= p_dust)
+                jnp.logical_and(at_sc, ~is_h2),
+                jax.random.uniform(keys[6], s.x.shape) <= p_dust)
         else:
             is_dust = jnp.zeros_like(at_sc)
-        is_res = jnp.logical_and(at_sc, ~is_dust)
+        is_res = jnp.logical_and(at_sc, jnp.logical_and(~is_dust, ~is_h2))
 
         # ---------------- resonance branch ----------------
         acc, uz, xfreq_atom, E1, E2, E3, perp_scale, g0_lane = redistribute(
@@ -1097,8 +1304,65 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             dust_sc = jnp.zeros_like(is_dust)
             kx_d = ky_d = kz_d = None
 
+        # ---------------- H2 branch (scatter_h2, scattering_car.f90:122-199)
+        if h2 is not None:
+            from ..physics.h2 import h2_line_weights
+            xi_h2 = jax.random.uniform(keys[9], (8,) + s.x.shape, jnp.float32)
+            xi_h2 = jnp.maximum(xi_h2, 1e-12)
+            ws = h2_line_weights(h2, s.xfreq, D_cell)
+            # line selection (2 lines: direct comparison)
+            sel2 = xi_h2[0] * jnp.maximum(ws[0] + ws[1], TINY) > ws[0]
+            il = sel2.astype(jnp.int32)
+            p_scat_l = jnp.where(sel2, h2.p_scat[1], h2.p_scat[0])
+            dnu_l = jnp.where(sel2, h2.dnu_Hz[1], h2.dnu_Hz[0])
+            a_l = jnp.where(sel2, h2.a_damp[1], h2.a_damp[0])
+            # destruction vs resonance scatter
+            h2_destroy = jnp.logical_and(is_h2, xi_h2[1] > p_scat_l)
+            h2_sc = jnp.logical_and(is_h2, ~h2_destroy)
+            ratio_h2 = D_cell / h2.Dfreq_Hz if not h2.hi_width else 1.0
+            dx_l = dnu_l / D_cell
+            x_h2v = (s.xfreq - dx_l) * ratio_h2
+            env_h2 = samplers.vz_envelope(x_h2v, a_l)
+            acc_h2 = jnp.zeros_like(is_h2)
+            uz_h2 = jnp.zeros_like(s.xfreq)
+            for i in range(par.scatter_rounds):
+                acc_h2, uz_h2 = samplers.vz_round(
+                    jax.random.fold_in(keys[9], 100 + i), env_h2, acc_h2,
+                    uz_h2, h2_sc)
+            h2_sc = jnp.logical_and(h2_sc, acc_h2)
+            xatom_h2 = x_h2v - uz_h2
+            cost_h = 2.0 * xi_h2[2] - 1.0
+            sint_h = jnp.sqrt(jnp.maximum(1.0 - cost_h * cost_h, 0.0))
+            phi_h = 2.0 * math.pi * xi_h2[3]
+            phi2_h = 2.0 * math.pi * xi_h2[4]
+            uxy_h = jnp.sqrt(-jnp.log(xi_h2[5]))
+            ux_h = uxy_h * jnp.cos(phi2_h)
+            uy_h = uxy_h * jnp.sin(phi2_h)
+            x_h2_new = (xatom_h2 + uz_h2 * cost_h
+                        + (ux_h * jnp.cos(phi_h) + uy_h * jnp.sin(phi_h))
+                        * sint_h)
+            xfreq_h2 = x_h2_new / ratio_h2 + dx_l
+            kxh, kyh, kzh = rotate_direction(s.kx, s.ky, s.kz, cost_h,
+                                             sint_h, jnp.cos(phi_h),
+                                             jnp.sin(phi_h))
+            t = t._replace(
+                W_H2abs=t.W_H2abs + jnp.sum(jnp.where(h2_destroy, s.wgt, 0.0)),
+                W_H2scat=t.W_H2scat + jnp.sum(jnp.where(h2_sc, s.wgt, 0.0)),
+                W_H2pump=t.W_H2pump.at[jnp.clip(il, 0, 1)].add(
+                    jnp.where(is_h2, s.wgt, 0.0)),
+                nscatt_gas=t.nscatt_gas
+                + jnp.sum(jnp.where(h2_sc, s.wgt, 0.0)))
+        else:
+            h2_destroy = jnp.zeros_like(is_h2)
+            h2_sc = jnp.zeros_like(is_h2)
+            kxh = kyh = kzh = None
+            xfreq_h2 = None
+
         # ---------------- commit -----------------------------------------
-        done = jnp.logical_or(do_res, jnp.logical_or(dust_sc, absorbed))
+        done = jnp.logical_or(jnp.logical_or(do_res, h2_sc),
+                              jnp.logical_or(dust_sc,
+                                             jnp.logical_or(absorbed,
+                                                            h2_destroy)))
         tau_next = -jnp.log(jnp.maximum(
             jax.random.uniform(keys[2], s.x.shape), 1e-12))
 
@@ -1112,8 +1376,9 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 out = jnp.where(dust_sc, dust_v, out)
             return out
 
+        dead_now = jnp.logical_or(absorbed, h2_destroy)
         s2 = s._replace(
-            phase=jnp.where(absorbed, DEAD,
+            phase=jnp.where(dead_now, DEAD,
                             jnp.where(done, FLYING, s.phase)),
             kx=sel(kx_n, kx_d, s.kx),
             ky=sel(ky_n, ky_d, s.ky),
@@ -1123,6 +1388,12 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             tau_target=jnp.where(done, tau_next, s.tau_target),
             tau_run=jnp.where(done, 0.0, s.tau_run),
         )
+        if h2 is not None:
+            s2 = s2._replace(
+                kx=jnp.where(h2_sc, kxh, s2.kx),
+                ky=jnp.where(h2_sc, kyh, s2.ky),
+                kz=jnp.where(h2_sc, kzh, s2.kz),
+                xfreq=jnp.where(h2_sc, xfreq_h2, s2.xfreq))
         if par.use_stokes:
             s2 = s2._replace(
                 Q=jnp.where(do_res, Q_n, s.Q),
@@ -1149,6 +1420,13 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 )
         t2 = t._replace(nscatt_gas=t.nscatt_gas
                         + jnp.sum(jnp.where(do_res, s.wgt, 0.0)))
+        if par.calcP and t2.Pa is not None:
+            # scattering rate per atom (add_to_Pa, scattering_car.f90:830-866)
+            rkp = rhokap_phys(cfg, grid, meta, s.ic, s.jc, s.kc)
+            binp = jpa_bin(cfg, meta, (s.x, s.y, s.z, s.ic, s.jc, s.kc))
+            ok = jnp.logical_and(do_res, rkp > 0.0)
+            t2 = t2._replace(Pa=t2.Pa.at[binp].add(
+                jnp.where(ok, s.wgt / jnp.maximum(rkp, TINY), 0.0)))
         return s2, t2
 
     return scatter
@@ -1409,8 +1687,13 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None):
     n_cycles = cfg.par.chunk_cycles
     refill_every = max(1, cfg.par.refill_every)
 
+    nmu_t = cfg.par.nmu if cfg.par.save_Jmu else 0
+
     def chunk(state, grid, key, n_shard, odev=None):
-        tallies = zero_tallies(meta.nxfreq, peel=peel_zero())
+        tallies = zero_tallies(meta.nxfreq, peel=peel_zero(), nmu=nmu_t,
+                               nbin_JPa=meta.nbin_JPa, calcJ=cfg.par.calcJ,
+                               calcP=cfg.par.calcP,
+                               calcPnew=cfg.par.calcPnew)
 
         def body(i, carry):
             st, tl = carry
