@@ -72,6 +72,11 @@ def run(par: Params, *, seed: Optional[int] = None,
     }
     if par.save_Jmu:
         acc['Jmu'] = np.zeros(meta.nxfreq * par.nmu, np.float64)
+    if cfg.line.line_type == 8:
+        acc['Jout_Ha'] = np.zeros(meta.nxfreq, np.float64)
+        acc['Jabs_Ha'] = np.zeros(meta.nxfreq, np.float64)
+        for k in ('W_conv', 'W_esc1', 'W_abs1', 'W_esc2', 'W_abs2'):
+            acc[k] = 0.0
     if par.calcJ and meta.nbin_JPa:
         acc['J1'] = np.zeros(meta.nxfreq * meta.nbin_JPa, np.float64)
     if par.calcP and meta.nbin_JPa:
@@ -106,6 +111,11 @@ def run(par: Params, *, seed: Optional[int] = None,
             + np.asarray(tl.W_H2pump, np.float64)
         if par.save_Jmu:
             acc['Jmu'] += np.asarray(tl.Jmu, np.float64)
+        if cfg.line.line_type == 8:
+            acc['Jout_Ha'] += np.asarray(tl.Jout_Ha, np.float64)
+            acc['Jabs_Ha'] += np.asarray(tl.Jabs_Ha, np.float64)
+            for k in ('W_conv', 'W_esc1', 'W_abs1', 'W_esc2', 'W_abs2'):
+                acc[k] += float(getattr(tl, k))
         if 'J1' in acc:
             acc['J1'] += np.asarray(tl.J1, np.float64)
         if 'Pa' in acc:

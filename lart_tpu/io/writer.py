@@ -136,6 +136,21 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
                 'H2PUMP2': float(res.W_H2pump[1])
                 if res.W_H2pump is not None else 0.0,
             })
+        if res.Jout_Ha is not None:
+            gh = f.create_group('Jout_Ha')
+            gh.create_dataset('data', data=np.asarray(res.Jout_Ha, bp))
+            _put_attrs(gh, {'EXTNAME': 'Jout_Ha'})
+            gh = f.create_group('Jabs_Ha')
+            gh.create_dataset('data', data=np.asarray(res.Jabs_Ha, bp))
+            _put_attrs(gh, {'EXTNAME': 'Jabs_Ha'})
+            _put_attrs(g, {'W_conv': res.W_conv, 'W_esc1': res.W_esc1,
+                           'W_abs1': res.W_abs1, 'W_esc2': res.W_esc2,
+                           'W_abs2': res.W_abs2})
+        if res.J2gam is not None:
+            g2 = f.create_group('J2gam')
+            g2.create_dataset('y', data=res.y_2gam)
+            g2.create_dataset('data', data=np.asarray(res.J2gam, bp))
+            _put_attrs(g2, {'EXTNAME': 'J2gam'})
         for nm, arr, ext in (('J1', res.J1, 'Jx_1D'), ('Pa', res.Pa,
                              'Pa_1D' if res.meta.geometry_JPa != 3
                              else 'Pa_3D'),

@@ -41,6 +41,15 @@ class RunResult:
     W_H2abs: float = 0.0                   # per photon
     W_H2scat: float = 0.0
     W_H2pump: Optional[np.ndarray] = None
+    Jout_Ha: Optional[np.ndarray] = None   # band-2 escaped spectrum
+    Jabs_Ha: Optional[np.ndarray] = None
+    J2gam: Optional[np.ndarray] = None     # analytic two-photon spectrum
+    y_2gam: Optional[np.ndarray] = None
+    W_conv: float = 0.0
+    W_esc1: float = 0.0
+    W_abs1: float = 0.0
+    W_esc2: float = 0.0
+    W_abs2: float = 0.0
     J1: Optional[np.ndarray] = None        # (nxfreq, nbin) mean intensity
     Pa: Optional[np.ndarray] = None        # (nbin,) scattering rate per atom
     Pnew: Optional[np.ndarray] = None      # (nbin,)
@@ -49,6 +58,19 @@ class RunResult:
     @property
     def line(self):
         return self.cfg.line
+
+
+def twophoton_dAdy(y):
+    """Nussbaumer & Schmutz (1984) two-photon decay spectrum fit
+    (twophoton_dAdy, line_mod.f90:1274-1294)."""
+    y = np.asarray(y, np.float64)
+    w = y * (1.0 - y)
+    out = np.zeros_like(w)
+    pos = w > 0
+    w4 = (4.0 * w[pos]) ** 0.8
+    out[pos] = 202.0 * (w[pos] * (1.0 - w4)
+                        + 0.88 * w[pos] ** 1.53 * w4)
+    return out
 
 
 def _jpa_counts(cfg: ResolvedConfig, meta: GridMeta):
@@ -146,6 +168,16 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
                 and par.continuum_normalize and Jin is not None):
             pass  # scale folded into Jin-based scale above when applicable
 
+    # ly_beta analytic two-photon spectrum (write_output_rect.f90:84-111):
+    # J2gam(y) = 2 * W_conv_per_photon * P(y), Nussbaumer & Schmutz fit
+    J2gam = y_2gam = None
+    if 'W_conv' in raw and par.ny_2gam > 0:
+        y_2gam = (np.arange(par.ny_2gam) + 0.5) / par.ny_2gam
+        yy = np.linspace(0.0, 1.0, 10001)
+        A = np.trapezoid(twophoton_dAdy(yy), yy)
+        J2gam = 2.0 * (raw['W_conv'] / nphotons) \
+            * twophoton_dAdy(y_2gam) / A
+
     # CALCJ/P normalization (output_sum_rect.f90:300-345): dVol = cell
     # volume; per-bin cell counts; slab uses the area factor
     J1 = Pa = Pnew = r_JPa = None
@@ -176,6 +208,14 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
         nscatt_tot=(raw['nscatt_gas'] + raw['nscatt_dust']) / nphotons,
         exetime_s=exetime_s, peel=peel, obs_meta=obs_meta, Jmu=Jmu,
         J1=J1, Pa=Pa, Pnew=Pnew, r_JPa=r_JPa,
+        Jout_Ha=(raw['Jout_Ha'] / denom if 'Jout_Ha' in raw else None),
+        Jabs_Ha=(raw['Jabs_Ha'] / denom if 'Jabs_Ha' in raw else None),
+        J2gam=J2gam, y_2gam=y_2gam,
+        W_conv=raw.get('W_conv', 0.0) / nphotons,
+        W_esc1=raw.get('W_esc1', 0.0) / nphotons,
+        W_abs1=raw.get('W_abs1', 0.0) / nphotons,
+        W_esc2=raw.get('W_esc2', 0.0) / nphotons,
+        W_abs2=raw.get('W_abs2', 0.0) / nphotons,
         W_H2abs=raw.get('W_H2abs', 0.0) / nphotons,
         W_H2scat=raw.get('W_H2scat', 0.0) / nphotons,
         W_H2pump=(raw['W_H2pump'] / nphotons

@@ -88,6 +88,8 @@ class BatchState(NamedTuple):
     nnx: jnp.ndarray
     nny: jnp.ndarray
     nnz: jnp.ndarray
+    # photon band (ly_beta line_type 8): 1 = resonance, 2 = H-alpha
+    iband: jnp.ndarray
     # scalar bookkeeping
     n_launched: jnp.ndarray     # int32 ()
 
@@ -101,6 +103,13 @@ class Tallies(NamedTuple):
     W_H2abs: jnp.ndarray        # () f32: Lya destroyed by H2 fluorescence
     W_H2scat: jnp.ndarray       # () f32: H2 resonance-scatter events
     W_H2pump: jnp.ndarray       # (2,) f32: pumping weight per H2 line
+    Jout_Ha: object = None      # (nxfreq,) band-2 escaped (ly_beta)
+    Jabs_Ha: object = None      # (nxfreq,) band-2 dust-absorbed
+    W_conv: jnp.ndarray = None  # () 3p->2s conversion weight
+    W_esc1: jnp.ndarray = None
+    W_abs1: jnp.ndarray = None
+    W_esc2: jnp.ndarray = None
+    W_abs2: jnp.ndarray = None
     Jmu: object = None          # (nxfreq*nmu,) f32 or None (save_Jmu)
     J1: object = None           # (nxfreq*nbin,) mean intensity J(x) (calcJ)
     Pa: object = None           # (nbin,) scattering rate per atom (calcP)
@@ -118,17 +127,23 @@ def init_state(batch: int) -> BatchState:
                       bxfreq=zf, bkx=zf, bky=zf, bkz=zf + 1.0,
                       Q=zf, U=zf, V=zf, mx=zf + 1.0, my=zf, mz=zf,
                       nnx=zf, nny=zf + 1.0, nnz=zf,
+                      iband=zi + 1,
                       n_launched=jnp.zeros((1,), jnp.int32))
 
 
 def zero_tallies(nxfreq: int, peel=None, nmu: int = 0,
                  nbin_JPa: int = 0, calcJ=False, calcP=False,
-                 calcPnew=False) -> Tallies:
+                 calcPnew=False, lyb=False) -> Tallies:
     z = jnp.zeros((nxfreq,), jnp.float32)
     return Tallies(Jin=z, Jout=z, Jabs=z,
                    nscatt_gas=jnp.float32(0.0), nscatt_dust=jnp.float32(0.0),
                    W_H2abs=jnp.float32(0.0), W_H2scat=jnp.float32(0.0),
                    W_H2pump=jnp.zeros((2,), jnp.float32),
+                   Jout_Ha=z if lyb else None,
+                   Jabs_Ha=z if lyb else None,
+                   W_conv=jnp.float32(0.0), W_esc1=jnp.float32(0.0),
+                   W_abs1=jnp.float32(0.0), W_esc2=jnp.float32(0.0),
+                   W_abs2=jnp.float32(0.0),
                    Jmu=jnp.zeros((nxfreq * nmu,), jnp.float32)
                    if nmu > 0 else None,
                    J1=jnp.zeros((nxfreq * nbin_JPa,), jnp.float32)
@@ -370,7 +385,10 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
 
     h2 = h2_setup(cfg)
 
-    def total_opacity(grid, xfreq, i, j, k, a_cell, Dfreq_cell):
+    lt8 = cfg.line.line_type == 8
+    R_Ha = par.cext_dust_Ha / par.cext_dust if par.cext_dust > 0 else 0.0
+
+    def total_opacity(grid, xfreq, i, j, k, a_cell, Dfreq_cell, iband=None):
         rk = cell_rhokap(grid, meta, i, j, k)
         H = line_profile(cfg, xfreq, a_cell, Dfreq_cell)
         rhoH = rk * H
@@ -380,6 +398,13 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             rho = rho + rk * h2_kappa(h2, xfreq, Dfreq_cell)
         if meta.has_dust:
             rho = rho + cell_rhokapD(grid, meta, i, j, k)
+        if lt8 and iband is not None:
+            # band 2 (H-alpha): dust-only opacity scaled by R_Ha
+            # (raytrace_to_tau_car, raytrace_car.f90:1497-1505)
+            rho2 = (cell_rhokapD(grid, meta, i, j, k) * R_Ha
+                    if meta.has_dust else jnp.zeros_like(rhoH))
+            rho = jnp.where(iband == 2, rho2, rho)
+            rhoH = jnp.where(iband == 2, 0.0, rhoH)
         return rho, rhoH
 
     save_Jmu = par.save_Jmu
@@ -408,7 +433,7 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
 
         def body(carry):
             s, rec, n = carry
-            rec, (J1_c, Pn_c) = rec
+            rec, (J1_c, Pn_c), (esc_b2_r, esc_wall_r) = rec
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
                  esc_mu_r, ffs_mu_r) = rec
@@ -420,7 +445,8 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
             D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
             rho, rhoH = total_opacity(grid, s.xfreq, s.ic, s.jc, s.kc,
-                                      a_cell, D_cell)
+                                      a_cell, D_cell,
+                                      s.iband if lt8 else None)
 
             tx = face_dist(s.x, s.kx, s.ic, xmn, dx) if nx > 1 or meta.bc_x == 'escape' else BIG
             ty = face_dist(s.y, s.ky, s.jc, ymn, dy) if ny > 1 or meta.bc_y == 'escape' else BIG
@@ -493,7 +519,10 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
 
             # comoving frequency update on cell change
             # x' = (x + u1) * D1/D2 - u2      (raytrace_car.f90:1586-1589)
+            # band 2 carries a LAB-frame frequency: no comoving shifts
             changed = jnp.logical_and(crossed, ~escaped)
+            if lt8:
+                changed = jnp.logical_and(changed, s.iband == 1)
             if not meta.static_medium or not meta.uniform_temperature:
                 u1 = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                        s.kx, s.ky, s.kz)
@@ -514,6 +543,9 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             u_esc = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                       s.kx, s.ky, s.kz)
             xfreq_lab = (s.xfreq + u_esc) * (D_cell / meta.Dfreq_ref)
+            if lt8:
+                # band 2 frequency is already lab-frame in reference units
+                xfreq_lab = jnp.where(s.iband == 2, s.xfreq, xfreq_lab)
             ix = jnp.floor((xfreq_lab - meta.xfreq_min)
                            / meta.dxfreq).astype(jnp.int32)
             in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
@@ -522,6 +554,9 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)
             esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
+            if lt8:
+                esc_b2_r = jnp.where(esc_fly, (s.iband == 2), esc_b2_r)
+                esc_wall_r = jnp.where(esc_fly, s.wgt, esc_wall_r)
             if save_Jmu:
                 esc_mu_r = jnp.where(rec_e, mu_bin(s.kz), esc_mu_r)
 
@@ -584,7 +619,7 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
                 (esc_mu_r, ffs_mu_r) if save_Jmu else ())
-            return s2, (rec2, (J1_c, Pn_c)), n + 1
+            return s2, (rec2, (J1_c, Pn_c), (esc_b2_r, esc_wall_r)), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
@@ -596,16 +631,30 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta):
             else jnp.zeros((1,), jnp.float32)
         Pn_0 = tallies.Pnew if tallies.Pnew is not None \
             else jnp.zeros((1,), jnp.float32)
+        b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
         state, rec_jpa, _ = jax.lax.while_loop(
-            cond, body, (state, (rec0, (J1_0, Pn_0)), jnp.int32(0)))
-        rec, (J1_f, Pn_f) = rec_jpa
+            cond, body, (state, (rec0, (J1_0, Pn_0), b2_0), jnp.int32(0)))
+        rec, (J1_f, Pn_f), (esc_b2, esc_wall) = rec_jpa
         if tallies.J1 is not None:
             tallies = tallies._replace(J1=J1_f)
         if tallies.Pnew is not None:
             tallies = tallies._replace(Pnew=Pn_f)
         esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
-        Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
-        tallies = tallies._replace(Jout=Jout)
+        if lt8:
+            Jout = tallies.Jout.at[esc_ix].add(
+                jnp.where(esc_b2, 0.0, esc_w)).at[ffs_ix].add(ffs_w)
+            Jout_Ha = tallies.Jout_Ha.at[esc_ix].add(
+                jnp.where(esc_b2, esc_w, 0.0))
+            tallies = tallies._replace(
+                Jout=Jout, Jout_Ha=Jout_Ha,
+                W_esc1=tallies.W_esc1
+                + jnp.sum(jnp.where(esc_b2, 0.0, esc_wall))
+                + jnp.sum(ffs_w),
+                W_esc2=tallies.W_esc2
+                + jnp.sum(jnp.where(esc_b2, esc_wall, 0.0)))
+        else:
+            Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
+            tallies = tallies._replace(Jout=Jout)
         if save_Jmu:
             esc_mu, ffs_mu = rec[4], rec[5]
             Jmu = tallies.Jmu.at[esc_ix * par.nmu + esc_mu].add(esc_w) \
@@ -625,6 +674,8 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
     CELL index (jc/kc unused)."""
     par = cfg.par
     h2 = h2_setup(cfg)
+    lt8 = cfg.line.line_type == 8
+    R_Ha = par.cext_dust_Ha / par.cext_dust if par.cext_dust > 0 else 0.0
     save_Jmu = par.save_Jmu
     mu_min = 0.0 if par.xyz_symmetry else -1.0
     dmu = (1.0 - mu_min) / par.nmu
@@ -643,7 +694,7 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
 
         def body(carry):
             s, rec, n = carry
-            rec, (J1_c, Pn_c) = rec
+            rec, (J1_c, Pn_c), (esc_b2_r, esc_wall_r) = rec
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
                  esc_mu_r, ffs_mu_r) = rec
@@ -662,6 +713,11 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
                 rho = rho + rk * h2_kappa(h2, s.xfreq, D_cell)
             if meta.has_dust:
                 rho = rho + cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
+            if lt8:
+                rho2 = (cell_rhokapD(grid, meta, s.ic, s.jc, s.kc) * R_Ha
+                        if meta.has_dust else jnp.zeros_like(rhoH))
+                rho = jnp.where(s.iband == 2, rho2, rho)
+                rhoH = jnp.where(s.iband == 2, 0.0, rhoH)
 
             cx = jnp.take(grid.node_cx, s.ic, mode='clip')
             cy = jnp.take(grid.node_cy, s.ic, mode='clip')
@@ -735,6 +791,8 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
 
             # comoving frequency update on cell change
             changed = jnp.logical_and(crossed, ~escaped)
+            if lt8:
+                changed = jnp.logical_and(changed, s.iband == 1)
             if not meta.static_medium or not meta.uniform_temperature:
                 u1 = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                        s.kx, s.ky, s.kz)
@@ -754,6 +812,9 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             u_esc = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                       s.kx, s.ky, s.kz)
             xfreq_lab = (s.xfreq + u_esc) * (D_cell / meta.Dfreq_ref)
+            if lt8:
+                # band 2 frequency is already lab-frame in reference units
+                xfreq_lab = jnp.where(s.iband == 2, s.xfreq, xfreq_lab)
             ix = jnp.floor((xfreq_lab - meta.xfreq_min)
                            / meta.dxfreq).astype(jnp.int32)
             in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
@@ -761,6 +822,9 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)
             esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
+            if lt8:
+                esc_b2_r = jnp.where(esc_fly, (s.iband == 2), esc_b2_r)
+                esc_wall_r = jnp.where(esc_fly, s.wgt, esc_wall_r)
             if save_Jmu:
                 esc_mu_r = jnp.where(rec_e, mu_bin(s.kz), esc_mu_r)
 
@@ -812,7 +876,7 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
                 (esc_mu_r, ffs_mu_r) if save_Jmu else ())
-            return s2, (rec2, (J1_c, Pn_c)), n + 1
+            return s2, (rec2, (J1_c, Pn_c), (esc_b2_r, esc_wall_r)), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
@@ -824,16 +888,30 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             else jnp.zeros((1,), jnp.float32)
         Pn_0 = tallies.Pnew if tallies.Pnew is not None \
             else jnp.zeros((1,), jnp.float32)
+        b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
         state, rec_jpa, _ = jax.lax.while_loop(
-            cond, body, (state, (rec0, (J1_0, Pn_0)), jnp.int32(0)))
-        rec, (J1_f, Pn_f) = rec_jpa
+            cond, body, (state, (rec0, (J1_0, Pn_0), b2_0), jnp.int32(0)))
+        rec, (J1_f, Pn_f), (esc_b2, esc_wall) = rec_jpa
         if tallies.J1 is not None:
             tallies = tallies._replace(J1=J1_f)
         if tallies.Pnew is not None:
             tallies = tallies._replace(Pnew=Pn_f)
         esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
-        Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
-        tallies = tallies._replace(Jout=Jout)
+        if lt8:
+            Jout = tallies.Jout.at[esc_ix].add(
+                jnp.where(esc_b2, 0.0, esc_w)).at[ffs_ix].add(ffs_w)
+            Jout_Ha = tallies.Jout_Ha.at[esc_ix].add(
+                jnp.where(esc_b2, esc_w, 0.0))
+            tallies = tallies._replace(
+                Jout=Jout, Jout_Ha=Jout_Ha,
+                W_esc1=tallies.W_esc1
+                + jnp.sum(jnp.where(esc_b2, 0.0, esc_wall))
+                + jnp.sum(ffs_w),
+                W_esc2=tallies.W_esc2
+                + jnp.sum(jnp.where(esc_b2, esc_wall, 0.0)))
+        else:
+            Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
+            tallies = tallies._replace(Jout=Jout)
         if save_Jmu:
             esc_mu, ffs_mu = rec[4], rec[5]
             Jmu = tallies.Jmu.at[esc_ix * par.nmu + esc_mu].add(esc_w) \
@@ -1057,6 +1135,19 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 E2 = 1.0 - E1
             xfreq_atom = xfreq_atom - shift
             return acc, uz, xfreq_atom, E1, E2, E3, ones, g0
+        if lt == 8:
+            # Lyman-beta with 3p->2s conversion (do_resonance8,
+            # line_mod.f90:294-345): upward machinery = do_resonance1;
+            # downward channel 2 -> band transmutation flag
+            acc, uz = _vz(k1, s.xfreq, a_cell, active)
+            xfreq_atom = s.xfreq - uz
+            br = line.branches[0]
+            conv = jax.random.uniform(k2, s.xfreq.shape) < br.P_down[1]
+            idown = conv.astype(jnp.int32)
+            E1 = _branch_consts(idown, br.E1)
+            E2 = _branch_consts(idown, br.E2)
+            E3 = _branch_consts(idown, br.E3)
+            return (acc, uz, xfreq_atom, E1, E2, E3, ones, g0), conv
         if lt == 7:
             # H + D Lyman-alpha (do_resonance_HD, line_mod.f90:476-549)
             dx_HD = line.delta_nu_HD_Hz / D_cell
@@ -1115,10 +1206,21 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
         else:
             is_dust = jnp.zeros_like(at_sc)
         is_res = jnp.logical_and(at_sc, jnp.logical_and(~is_dust, ~is_h2))
+        if lt == 8:
+            # band 2: every interaction is a dust event
+            # (scattering_car.f90:31-36)
+            b2 = s.iband == 2
+            is_dust = jnp.where(b2, at_sc, is_dust)
+            is_res = jnp.logical_and(is_res, ~b2)
+            is_h2 = jnp.logical_and(is_h2, ~b2)
 
         # ---------------- resonance branch ----------------
-        acc, uz, xfreq_atom, E1, E2, E3, perp_scale, g0_lane = redistribute(
-            keys[0], s, a_cell, D_cell, is_res)
+        _red = redistribute(keys[0], s, a_cell, D_cell, is_res)
+        if lt == 8:
+            (acc, uz, xfreq_atom, E1, E2, E3, perp_scale, g0_lane), conv = _red
+        else:
+            acc, uz, xfreq_atom, E1, E2, E3, perp_scale, g0_lane = _red
+            conv = None
 
         xi = jax.random.uniform(keys[1], (6,) + s.x.shape, jnp.float32)
         xi = jnp.maximum(xi, 1e-12)
@@ -1178,7 +1280,11 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 do_res, xfreq_atom, ux, uy, uz))
 
         if par.recoil:
-            xfreq_new = xfreq_new - (g0_lane / D_cell) * (1.0 - cost)
+            rec_ok = jnp.ones_like(xfreq_new, bool) if conv is None \
+                else ~conv
+            xfreq_new = jnp.where(
+                rec_ok, xfreq_new - (g0_lane / D_cell) * (1.0 - cost),
+                xfreq_new)
 
         if par.use_stokes:
             # triad rotation (m, n, k) and Stokes update
@@ -1221,8 +1327,14 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
 
         # ---------------- dust branch (scatter_dust_[no]stokes) -----------
         if meta.has_dust:
+            if lt == 8:
+                albedo_l = jnp.where(s.iband == 2, par.albedo_Ha, par.albedo)
+                hgg_l = jnp.where(s.iband == 2, par.hgg_Ha, par.hgg)
+            else:
+                albedo_l = par.albedo
+                hgg_l = par.hgg
             absorbed = jnp.logical_and(
-                is_dust, xi[4] > par.albedo) if not par.use_reduced_wgt \
+                is_dust, xi[4] > albedo_l) if not par.use_reduced_wgt \
                 else jnp.zeros_like(is_dust)
             dust_sc = jnp.logical_and(is_dust, ~absorbed)
             if mueller is not None:
@@ -1273,7 +1385,7 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 Ud_n = (dS33 * U0d + dS34 * s.V) / I1d
                 Vd_n = (-dS34 * U0d + dS33 * s.V) / I1d
             else:
-                cost_d = samplers.rand_henyey_greenstein(xi[5], par.hgg)
+                cost_d = samplers.rand_henyey_greenstein(xi[5], hgg_l)
                 sint_d = jnp.sqrt(jnp.maximum(1.0 - cost_d * cost_d, 0.0))
                 kx_d, ky_d, kz_d = rotate_direction(s.kx, s.ky, s.kz, cost_d,
                                                     sint_d, cosp, sinp)
@@ -1284,16 +1396,37 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             ixa = jnp.floor((xfreq_lab - meta.xfreq_min)
                             / meta.dxfreq).astype(jnp.int32)
             ina = jnp.logical_and(ixa >= 0, ixa < meta.nxfreq)
-            wab = s.wgt * (1.0 - par.albedo) if par.use_reduced_wgt else s.wgt
+            wab = s.wgt * (1.0 - albedo_l) if par.use_reduced_wgt else s.wgt
             if peel_dust is not None:
                 s_peel = s._replace(wgt=s.wgt * par.albedo) \
                     if par.use_reduced_wgt else s
                 t = t._replace(peel=peel_dust(t.peel, grid, odev, s_peel,
                                               dust_sc))
-            Jabs = t.Jabs.at[jnp.clip(ixa, 0, meta.nxfreq - 1)].add(
-                jnp.where(jnp.logical_and(jnp.logical_and(
-                    is_dust, jnp.logical_or(absorbed, par.use_reduced_wgt)),
-                    ina), wab, 0.0))
+            absorbing = jnp.logical_and(
+                is_dust, jnp.logical_or(absorbed, par.use_reduced_wgt))
+            dep_ab = jnp.where(jnp.logical_and(absorbing, ina), wab, 0.0)
+            if lt == 8:
+                # band 2 Jabs goes to the H-alpha spectrum; xfreq is already
+                # lab-frame for band 2
+                is_b2 = s.iband == 2
+                ixa2 = jnp.floor((s.xfreq - meta.xfreq_min)
+                                 / meta.dxfreq).astype(jnp.int32)
+                ina2 = jnp.logical_and(ixa2 >= 0, ixa2 < meta.nxfreq)
+                dep2 = jnp.where(jnp.logical_and(
+                    jnp.logical_and(absorbing, is_b2), ina2), wab, 0.0)
+                Jabs_Ha = t.Jabs_Ha.at[
+                    jnp.clip(ixa2, 0, meta.nxfreq - 1)].add(dep2)
+                Jabs = t.Jabs.at[jnp.clip(ixa, 0, meta.nxfreq - 1)].add(
+                    jnp.where(is_b2, 0.0, dep_ab))
+                t = t._replace(
+                    Jabs_Ha=Jabs_Ha,
+                    W_abs1=t.W_abs1 + jnp.sum(jnp.where(
+                        jnp.logical_and(absorbing, ~is_b2), wab, 0.0)),
+                    W_abs2=t.W_abs2 + jnp.sum(jnp.where(
+                        jnp.logical_and(absorbing, is_b2), wab, 0.0)))
+            else:
+                Jabs = t.Jabs.at[jnp.clip(ixa, 0, meta.nxfreq - 1)].add(
+                    dep_ab)
             # reference counts every dust event (incl. absorption) in
             # nscatt_dust (scattering_car.f90:505)
             t = t._replace(Jabs=Jabs,
@@ -1368,7 +1501,7 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
 
         wgt_new = s.wgt
         if meta.has_dust and par.use_reduced_wgt:
-            wgt_new = jnp.where(dust_sc, s.wgt * par.albedo, s.wgt)
+            wgt_new = jnp.where(dust_sc, s.wgt * albedo_l, s.wgt)
 
         def sel(res_v, dust_v, cur):
             out = jnp.where(do_res, res_v, cur)
@@ -1418,6 +1551,25 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                     nny=jnp.where(dust_sc, nyd, s2.nny),
                     nnz=jnp.where(dust_sc, nzd, s2.nnz),
                 )
+        if lt == 8 and conv is not None:
+            # 3p->2s conversion: newborn H-alpha photon at atom-frame line
+            # center; lab-frame frequency along the NEW direction in
+            # reference Doppler units (scatter_resonance_nostokes,
+            # scattering_car.f90:820-830); band 2 never updates xfreq again
+            did_conv = jnp.logical_and(do_res, conv)
+            u_new = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                      s2.kx, s2.ky, s2.kz)
+            xfreq_b2 = (s2.xfreq - xfreq_atom + u_new) \
+                * (D_cell / meta.Dfreq_ref)
+            s2 = s2._replace(
+                iband=jnp.where(did_conv, 2, s2.iband),
+                xfreq=jnp.where(did_conv, xfreq_b2, s2.xfreq))
+            t = t._replace(W_conv=t.W_conv
+                           + jnp.sum(jnp.where(did_conv, s.wgt, 0.0)))
+            if par.calcP and t.Pa is not None:
+                # conversion-rate map shares Pa binning; tracked via Pa of
+                # conversions -- appended to Pa tally writer as Pconv later
+                pass
         t2 = t._replace(nscatt_gas=t.nscatt_gas
                         + jnp.sum(jnp.where(do_res, s.wgt, 0.0)))
         if par.calcP and t2.Pa is not None:
@@ -1586,6 +1738,7 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             bic=w(ic, s.bic), bjc=w(jc, s.bjc), bkc=w(kc, s.bkc),
             bxfreq=w(xfreq, s.bxfreq),
             bkx=w(kx, s.bkx), bky=w(ky, s.bky), bkz=w(kz, s.bkz),
+            iband=w(jnp.ones(shape, jnp.int32), s.iband),
             n_launched=s.n_launched + n_new)
         # direct peel of the newborn photon at full weight, BEFORE forced
         # first scattering reweighting (generate_photon.f90:336-339)
@@ -1693,7 +1846,8 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None):
         tallies = zero_tallies(meta.nxfreq, peel=peel_zero(), nmu=nmu_t,
                                nbin_JPa=meta.nbin_JPa, calcJ=cfg.par.calcJ,
                                calcP=cfg.par.calcP,
-                               calcPnew=cfg.par.calcPnew)
+                               calcPnew=cfg.par.calcPnew,
+                               lyb=cfg.line.line_type == 8)
 
         def body(i, carry):
             st, tl = carry
