@@ -40,7 +40,16 @@ def run(par: Params, *, seed: Optional[int] = None,
     """
     enable_compilation_cache()
     cfg = par.resolve()
-    meta, grid = build_cartesian(cfg)
+    cmeta = None
+    if par.use_clump_medium:
+        from .grid.clump import build_clumps
+        meta, cmeta, grid = build_clumps(cfg, seed=(seed or par.iseed) + 77)
+    elif par.use_amr_grid:
+        from .grid.amr import build_amr
+        r = build_amr(cfg)
+        meta, grid = r.meta, r.dev
+    else:
+        meta, grid = build_cartesian(cfg)
     obs = build_observers(cfg)
     obs_meta, odev = obs if obs is not None else (None, None)
 
@@ -59,7 +68,8 @@ def run(par: Params, *, seed: Optional[int] = None,
         jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec('data')))
 
     odev = pmesh.device_put_replicated(odev, m) if odev is not None else None
-    chunk = pmesh.sharded_chunk(engine.make_chunk(cfg, meta, obs_meta), m)
+    chunk = pmesh.sharded_chunk(
+        engine.make_chunk(cfg, meta, obs_meta, cmeta=cmeta), m)
 
     key0 = jax.random.PRNGKey(seed if seed is not None else par.iseed)
 

@@ -1,0 +1,222 @@
+"""Clumpy medium: spherical-clump populations + CSR acceleration grid.
+
+Rebuilds the clump_mod population model (reference: src/clump_mod.f90:
+646-893 init_clumps, :897-1265 generate_clumps, :1267-1388 build_clump_csr):
+N spherical clumps placed by random sequential adsorption in a spherical
+shell [rmin, rmax], each with radius/opacity/temperature/bulk velocity;
+a uniform acceleration grid lists the clumps overlapping each cell for O(1)
+ray-clump candidate lookup.
+
+TPU layout: clump SoA arrays + a DENSE padded per-cell candidate table
+(cells, K_max) -- the CSR is padded so the traversal kernel does fixed-K
+gathers per DDA step instead of variable-length walks.
+
+v1 scope: uniform radius/density/number profiles; clump_temperature is
+pinned to the reference temperature (local-vs-reference Doppler rescaling
+of the scatter kernel lands with the profile support).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import Params, ResolvedConfig, vtherm_total
+from ..constants import FOURPI, UM2KM
+from .cartesian import GridMeta, _voigt0
+
+
+class ClumpDevice(NamedTuple):
+    x: jnp.ndarray          # (N,) f32 centers
+    y: jnp.ndarray
+    z: jnp.ndarray
+    r2: jnp.ndarray         # (N,) radius^2
+    radius: jnp.ndarray
+    rhokap: jnp.ndarray     # (N,) line opacity / length at line center
+    rhokapD: Optional[jnp.ndarray]
+    vx: jnp.ndarray         # bulk velocity / vtherm (LOS-projected on use)
+    vy: jnp.ndarray
+    vz: jnp.ndarray
+    table: jnp.ndarray      # (ncell, K) padded clump-candidate ids (-1 pad)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClumpMeta:
+    n_clumps: int
+    cg_n: int               # CSR cells per axis
+    cg_dx: float
+    K: int                  # table pad width
+    f_vol: float
+    f_cov: float
+    rhokap_ref: float
+
+
+def build_clumps(cfg: ResolvedConfig, seed: int = 1234):
+    """Build (GridMeta, ClumpMeta, ClumpDevice)."""
+    par, line = cfg.par, cfg.line
+    R = par.rmax if par.rmax > 0 else min(par.xmax, par.ymax, par.zmax)
+    rmin = max(0.0, par.rmin)
+    r_cl = par.clump_radius
+    if r_cl <= 0:
+        raise ValueError('clump_radius must be > 0')
+
+    # --- population size (init_clumps, clump_mod.f90:723-740)
+    if par.clump_N_clumps > 0:
+        N = int(par.clump_N_clumps)
+    elif par.clump_f_vol > 0:
+        N = int(round(par.clump_f_vol * (R ** 3 - rmin ** 3) / r_cl ** 3))
+    elif par.clump_f_cov > 0:
+        N = int(round((4.0 / 3.0) * par.clump_f_cov
+                      * (R ** 2 + R * rmin + rmin ** 2) / r_cl ** 2))
+    else:
+        raise ValueError('specify clump_N_clumps, clump_f_vol or clump_f_cov')
+    N = max(N, 1)
+    f_vol = N * r_cl ** 3 / max(R ** 3 - rmin ** 3, 1e-300)
+    f_cov = 0.75 * N * r_cl ** 2 / max(R ** 2 + R * rmin + rmin ** 2, 1e-300)
+
+    # --- clump opacity (clump_mod.f90:766-812)
+    T_cl = par.clump_temperature if par.clump_temperature > 0 \
+        else par.temperature
+    vth = vtherm_total(par, line, T_cl)
+    Dfreq_cl = vth / (line.wavelength0 * UM2KM)
+    voigt_a_cl = (line.damping / FOURPI) / Dfreq_cl
+    H0 = float(_voigt0(np.array([voigt_a_cl]))[0])
+    d2cm = par.distance2cm if par.distance2cm > 0 else 1.0
+    if par.clump_tau0 > 0:
+        rhokap_ref = par.clump_tau0 / (H0 * r_cl)
+    elif par.clump_NHI > 0:
+        rhokap_ref = par.clump_NHI * line.cross0 / (Dfreq_cl * r_cl)
+    elif par.clump_nH > 0:
+        rhokap_ref = par.clump_nH * line.cross0 * d2cm / Dfreq_cl
+    elif par.taumax > 0 or par.N_HImax > 0:
+        GF = N * r_cl ** 3 / max(R ** 2 + R * rmin + rmin ** 2, 1e-300)
+        if par.taumax > 0:
+            rhokap_ref = par.taumax / (GF * H0)
+        else:
+            rhokap_ref = par.N_HImax * line.cross0 / (GF * Dfreq_cl)
+    else:
+        raise ValueError('specify clump_tau0/clump_NHI/clump_nH/taumax')
+
+    # --- RSA placement (generate_clumps); cKDTree neighbor rejection
+    rng = np.random.default_rng(seed)
+    r_hi = R - r_cl if par.clump_fully_inside else R
+    r_lo = rmin + r_cl if (rmin > 0 and par.clump_fully_inside) else rmin
+    pos = np.zeros((N, 3))
+    placed = 0
+    from scipy.spatial import cKDTree
+    batch = max(4 * N, 1024)
+    max_tries = 200
+    for _ in range(max_tries):
+        if placed >= N:
+            break
+        u = rng.random((batch, 3))
+        rr = (r_lo ** 3 + u[:, 0] * (r_hi ** 3 - r_lo ** 3)) ** (1 / 3)
+        ct = 2 * u[:, 1] - 1
+        st = np.sqrt(np.maximum(1 - ct * ct, 0))
+        ph = 2 * np.pi * u[:, 2]
+        cand = np.stack([rr * st * np.cos(ph), rr * st * np.sin(ph),
+                         rr * ct], axis=1)
+        if par.clump_allow_overlap:
+            take = cand[:N - placed]
+            pos[placed:placed + len(take)] = take
+            placed += len(take)
+        else:
+            for c in cand:
+                if placed >= N:
+                    break
+                if placed == 0:
+                    pos[0] = c
+                    placed = 1
+                    continue
+                tree = None
+                # incremental check against placed clumps via KDTree
+                # (rebuild every 512 insertions to amortize)
+                if placed % 512 == 1 or tree is None:
+                    tree = cKDTree(pos[:placed])
+                d, _ = tree.query(c, k=1)
+                if d >= 2 * r_cl:
+                    pos[placed] = c
+                    placed += 1
+    if placed < N:
+        N = placed
+        pos = pos[:N]
+        f_vol = N * r_cl ** 3 / max(R ** 3 - rmin ** 3, 1e-300)
+        f_cov = 0.75 * N * r_cl ** 2 / max(R ** 2 + R * rmin + rmin ** 2,
+                                           1e-300)
+
+    # bulk velocities (clump_sigma_v), normalized by clump vtherm
+    if par.clump_sigma_v > 0:
+        v = rng.normal(0.0, par.clump_sigma_v, (N, 3)) / vth
+    else:
+        v = np.zeros((N, 3))
+
+    # --- CSR acceleration grid (build_clump_csr, clump_mod.f90:1267-1388):
+    # uniform cells over the bounding cube, cell size ~ clump diameter
+    cg_n = int(np.clip(math.floor(2 * R / (2 * r_cl)), 4, 192))
+    cg_dx = 2 * R / cg_n
+    lists = [[] for _ in range(cg_n ** 3)]
+    for icl in range(N):
+        lo = np.clip(np.floor((pos[icl] - r_cl + R) / cg_dx).astype(int),
+                     0, cg_n - 1)
+        hi = np.clip(np.floor((pos[icl] + r_cl + R) / cg_dx).astype(int),
+                     0, cg_n - 1)
+        for i in range(lo[0], hi[0] + 1):
+            for j in range(lo[1], hi[1] + 1):
+                for k in range(lo[2], hi[2] + 1):
+                    lists[(i * cg_n + j) * cg_n + k].append(icl)
+    K = max(1, max(len(l) for l in lists))
+    table = np.full((cg_n ** 3, K), -1, np.int32)
+    for ci, l in enumerate(lists):
+        table[ci, :len(l)] = l
+
+    rhokapD = None
+    if par.DGR > 0:
+        # matches the Cartesian rhokapD/rhokap ratio (clump_mod.f90:862-864)
+        rhokapD = np.full(N, rhokap_ref * par.cext_dust * par.DGR
+                          * Dfreq_cl / line.cross0)
+
+    # GridMeta reused: the bounding cube is the "grid"; nx=1 etc unused
+    from ..constants import SPEEDC
+    taumax_d = par.taumax if par.taumax > 0 else \
+        f_cov * rhokap_ref * H0 * r_cl * (4.0 / 3.0)
+    atau3 = (cfg.voigt_a_ref * max(taumax_d, 1e-30)) ** (1 / 3)
+    xfreq_min, xfreq_max, nxfreq = par.xfreq_min, par.xfreq_max, par.nxfreq
+    if not (xfreq_min == xfreq_min and xfreq_max == xfreq_max):
+        xscale = 25.0 if taumax_d <= 5e1 else 14.0 if taumax_d <= 5e2 \
+            else 10.0 if taumax_d <= 5e3 else 5.0
+        xfreq_max = math.floor(xscale * atau3) + 1
+        xfreq_min = -xfreq_max
+    dxfreq = (xfreq_max - xfreq_min) / nxfreq
+    dwave = cfg.vtherm / SPEEDC * (line.wavelength0 * 1e4) * dxfreq
+
+    meta = GridMeta(
+        nx=1, ny=1, nz=1, dx=2 * R, dy=2 * R, dz=2 * R,
+        xmin=-R, ymin=-R, zmin=-R, xmax=R, ymax=R, zmax=R,
+        i0=0, j0=0, k0=0, bc_x='escape', bc_y='escape', bc_z='escape',
+        Dfreq_ref=cfg.Dfreq_ref, voigt_a_ref=cfg.voigt_a_ref,
+        uniform_temperature=True, static_medium=bool(par.clump_sigma_v <= 0),
+        has_dust=rhokapD is not None,
+        nxfreq=nxfreq, xfreq_min=float(xfreq_min), xfreq_max=float(xfreq_max),
+        dxfreq=float(dxfreq), dwave=float(dwave),
+        xcrit=0.0, xcrit2=0.0,
+        taumax=float(taumax_d), tauhomo=float(taumax_d),
+        taupole_dust=0.0, tauhomo_dust=0.0,
+        N_gasmax=float(max(par.N_HImax, 0.0)), N_gashomo=0.0,
+        atau3=float(atau3), grid_type='clump')
+
+    cmeta = ClumpMeta(n_clumps=N, cg_n=cg_n, cg_dx=float(cg_dx), K=K,
+                      f_vol=float(f_vol), f_cov=float(f_cov),
+                      rhokap_ref=float(rhokap_ref))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    dev = ClumpDevice(
+        x=f32(pos[:, 0]), y=f32(pos[:, 1]), z=f32(pos[:, 2]),
+        r2=f32(np.full(N, r_cl * r_cl)), radius=f32(np.full(N, r_cl)),
+        rhokap=f32(np.full(N, rhokap_ref)),
+        rhokapD=f32(rhokapD) if rhokapD is not None else None,
+        vx=f32(v[:, 0]), vy=f32(v[:, 1]), vz=f32(v[:, 2]),
+        table=jnp.asarray(table))
+    return meta, cmeta, dev

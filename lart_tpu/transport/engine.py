@@ -179,7 +179,7 @@ def _leaf_gather(arr, il, default):
 
 
 def cell_voigt_a(grid, meta: GridMeta, i, j, k):
-    if meta.uniform_temperature:
+    if meta.grid_type == 'clump' or meta.uniform_temperature:
         return jnp.float32(meta.voigt_a_ref)
     if meta.grid_type == 'amr':
         return _leaf_gather(grid.voigt_a, _leaf_of(grid, i),
@@ -188,7 +188,7 @@ def cell_voigt_a(grid, meta: GridMeta, i, j, k):
 
 
 def cell_Dfreq(grid, meta: GridMeta, i, j, k):
-    if meta.uniform_temperature:
+    if meta.grid_type == 'clump' or meta.uniform_temperature:
         return jnp.float32(meta.Dfreq_ref)
     if meta.grid_type == 'amr':
         return _leaf_gather(grid.Dfreq, _leaf_of(grid, i), meta.Dfreq_ref)
@@ -198,12 +198,16 @@ def cell_Dfreq(grid, meta: GridMeta, i, j, k):
 def cell_rhokap(grid, meta: GridMeta, i, j, k):
     if meta.grid_type == 'amr':
         return _leaf_gather(grid.rhokap, _leaf_of(grid, i), 0.0)
+    if meta.grid_type == 'clump':
+        return _leaf_gather(grid.rhokap, i, 0.0)
     return _gather(grid.rhokap, meta, i, j, k)
 
 
 def cell_rhokapD(grid, meta: GridMeta, i, j, k):
     if meta.grid_type == 'amr':
         return _leaf_gather(grid.rhokapD, _leaf_of(grid, i), 0.0)
+    if meta.grid_type == 'clump':
+        return _leaf_gather(grid.rhokapD, i, 0.0)
     return _gather(grid.rhokapD, meta, i, j, k)
 
 
@@ -211,6 +215,11 @@ def cell_velocity_dot(grid, meta: GridMeta, i, j, k, kx, ky, kz):
     """u . k in local thermal units; 0 on the static fast path."""
     if meta.static_medium:
         return jnp.zeros_like(kx)
+    if meta.grid_type == 'clump':
+        # clump bulk velocity (ulos_clump, clump_mod.f90:184-190)
+        return (_leaf_gather(grid.vx, i, 0.0) * kx
+                + _leaf_gather(grid.vy, i, 0.0) * ky
+                + _leaf_gather(grid.vz, i, 0.0) * kz)
     if meta.grid_type == 'amr':
         il = _leaf_of(grid, i)
         return (_leaf_gather(grid.vfx, il, 0.0) * kx
@@ -248,6 +257,30 @@ def amr_descend_from_face(grid, meta: GridMeta, nb, face, x, y, z):
         return jnp.where(cur < 0, cur, nxt)
 
     return jax.lax.fori_loop(0, meta.levelmax + 1, body, nb)
+
+
+def clump_find(grid, meta: GridMeta, x, y, z):
+    """Clump containing (x,y,z), -1 if vacuum (active_set_at_point)."""
+    R = meta.xmax
+    ncell, K = grid.table.shape
+    import math as _m
+    cg_n = round(ncell ** (1.0 / 3.0))
+    cg_dx = 2.0 * R / cg_n
+    ci = jnp.clip(jnp.floor((x + R) / cg_dx).astype(jnp.int32), 0, cg_n - 1)
+    cj = jnp.clip(jnp.floor((y + R) / cg_dx).astype(jnp.int32), 0, cg_n - 1)
+    ck = jnp.clip(jnp.floor((z + R) / cg_dx).astype(jnp.int32), 0, cg_n - 1)
+    cell = (ci * cg_n + cj) * cg_n + ck
+    out = jnp.full(x.shape, -1, jnp.int32)
+    for q in range(K):
+        cand = jnp.take(grid.table.reshape(-1), cell * K + q, mode='clip')
+        qx = _leaf_gather(grid.x, cand, 0.0)
+        qy = _leaf_gather(grid.y, cand, 0.0)
+        qz = _leaf_gather(grid.z, cand, 0.0)
+        qr2 = _leaf_gather(grid.r2, cand, 0.0)
+        d2 = (x - qx) ** 2 + (y - qy) ** 2 + (z - qz) ** 2
+        hit = jnp.logical_and(cand >= 0, d2 < qr2)
+        out = jnp.where(jnp.logical_and(out < 0, hit), cand, out)
+    return out
 
 
 def amr_find_cell(grid, meta: GridMeta, x, y, z):
@@ -341,9 +374,11 @@ def line_profile(cfg: ResolvedConfig, xfreq, a_cell, Dfreq_cell):
 # Fly: batched Amanatides-Woo DDA with per-axis boundary ops
 # ---------------------------------------------------------------------------
 
-def make_fly(cfg: ResolvedConfig, meta: GridMeta):
+def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
     if meta.grid_type == 'amr':
         return make_fly_amr(cfg, meta)
+    if meta.grid_type == 'clump':
+        return make_fly_clump(cfg, meta, cmeta)
     par = cfg.par
     nx, ny, nz = meta.nx, meta.ny, meta.nz
     dx, dy, dz = meta.dx, meta.dy, meta.dz
@@ -1173,6 +1208,12 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 odev=None):
         s, t = state, tallies
         at_sc = s.phase == AT_SCATTER
+        if meta.grid_type == 'clump' and not meta.static_medium:
+            # shift into the owner clump's frame for the redistribution
+            # (scatter_resonance_clump wrappers)
+            u_in = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                     s.kx, s.ky, s.kz)
+            s = s._replace(xfreq=jnp.where(at_sc, s.xfreq - u_in, s.xfreq))
         a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
         D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
 
@@ -1572,6 +1613,11 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 pass
         t2 = t._replace(nscatt_gas=t.nscatt_gas
                         + jnp.sum(jnp.where(do_res, s.wgt, 0.0)))
+        if meta.grid_type == 'clump' and not meta.static_medium:
+            u_out = cell_velocity_dot(grid, meta, s2.ic, s2.jc, s2.kc,
+                                      s2.kx, s2.ky, s2.kz)
+            s2 = s2._replace(xfreq=jnp.where(at_sc, s2.xfreq + u_out,
+                                             s2.xfreq))
         if par.calcP and t2.Pa is not None:
             # scattering rate per atom (add_to_Pa, scattering_car.f90:830-866)
             rkp = rhokap_phys(cfg, grid, meta, s.ic, s.jc, s.kc)
@@ -1658,7 +1704,11 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
 
         # cell indices with edge fixes (generate_photon.f90:381-390);
         # AMR: octree descent to the enclosing cell
-        if meta.grid_type == 'amr':
+        if meta.grid_type == 'clump':
+            ic = clump_find(grid, meta, x, y, z)
+            jc = jnp.zeros_like(ic)
+            kc = jnp.zeros_like(ic)
+        elif meta.grid_type == 'amr':
             ic = amr_find_cell(grid, meta, x, y, z)
             jc = jnp.zeros_like(ic)
             kc = jnp.zeros_like(ic)
@@ -1821,7 +1871,8 @@ def make_cycle(cfg: ResolvedConfig, meta: GridMeta):
     return cycle
 
 
-def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None):
+def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
+               cmeta=None):
     """chunk(state, grid, key, n_shard, odev) -> (state, tallies, alive,
     launched) running `chunk_cycles` cycles inside one jit.  n_shard is a
     traced (1,) int32 (per-device photon budget) so one trace serves all
@@ -1834,7 +1885,7 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None):
         p_direct = p_res = p_dust = None
         peel_zero = lambda: None
 
-    fly = make_fly(cfg, meta)
+    fly = make_fly(cfg, meta, cmeta=cmeta)
     scatter = make_scatter(cfg, meta, peel_resonance=p_res, peel_dust=p_dust)
     refill = make_refill(cfg, meta, peel_direct=p_direct)
     n_cycles = cfg.par.chunk_cycles
@@ -1869,3 +1920,222 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None):
         return state, tallies, alive, state.n_launched[0]
 
     return chunk
+
+
+def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
+    """Clump-medium traversal (raytrace_to_tau_clump, reference
+    src/raytrace_clump.f90:83-204 + find_next_clump, clump_mod.f90:1390-1470):
+    rays alternate vacuum hops across the CSR acceleration grid (fixed-K
+    candidate gathers per cell) and analytic in-sphere segments.  Lane state
+    reuses BatchState with ic = current clump id (-1 = vacuum).
+
+    v1 scope: non-overlapping clumps (clump_allow_overlap transport lands
+    with the event-walk kernel)."""
+    par = cfg.par
+    if par.clump_allow_overlap:
+        raise NotImplementedError(
+            'overlapping-clump transport (event-walk raytrace) is not yet '
+            'implemented; set clump_allow_overlap=False')
+    R = meta.xmax
+    cg_n, cg_dx, K = cmeta.cg_n, cmeta.cg_dx, cmeta.K
+    EPS = jnp.float32(1e-4 * float(cmeta.cg_dx) / max(cmeta.cg_n, 1)
+                      + 1e-6 * R)
+    save_Jmu = par.save_Jmu
+    mu_min = -1.0
+    dmu = (1.0 - mu_min) / par.nmu
+    lt8 = cfg.line.line_type == 8
+
+    def mu_bin(kz):
+        return jnp.clip(jnp.floor((kz - mu_min) / dmu).astype(jnp.int32),
+                        0, par.nmu - 1)
+
+    def seg_and_next(grid, s):
+        """Segment length to the next medium change + next clump id."""
+        inside = s.ic >= 0
+        # --- in-clump exit distance (ray-sphere far intersection)
+        ccx = _leaf_gather(grid.x, s.ic, 0.0)
+        ccy = _leaf_gather(grid.y, s.ic, 0.0)
+        ccz = _leaf_gather(grid.z, s.ic, 0.0)
+        cr2 = _leaf_gather(grid.r2, s.ic, 1.0)
+        px, py, pz = s.x - ccx, s.y - ccy, s.z - ccz
+        b = px * s.kx + py * s.ky + pz * s.kz
+        det = b * b - (px * px + py * py + pz * pz - cr2)
+        t_exit_cl = -b + jnp.sqrt(jnp.maximum(det, 0.0))
+
+        # --- vacuum: CSR cell of current position
+        ci = jnp.clip(jnp.floor((s.x + R) / cg_dx).astype(jnp.int32),
+                      0, cg_n - 1)
+        cj = jnp.clip(jnp.floor((s.y + R) / cg_dx).astype(jnp.int32),
+                      0, cg_n - 1)
+        ck = jnp.clip(jnp.floor((s.z + R) / cg_dx).astype(jnp.int32),
+                      0, cg_n - 1)
+        cell = (ci * cg_n + cj) * cg_n + ck
+        # distance to CSR cell exit
+        def fd(pos, k, idx):
+            up = k > 0.0
+            face = -R + jnp.where(up, idx + 1, idx).astype(jnp.float32) \
+                * cg_dx
+            t = (face - pos) / jnp.where(jnp.abs(k) < 1e-12,
+                                         jnp.float32(1.0), k)
+            return jnp.where(jnp.abs(k) < 1e-12, BIG, jnp.maximum(t, 0.0))
+        t_cell = jnp.minimum(jnp.minimum(fd(s.x, s.kx, ci),
+                                         fd(s.y, s.ky, cj)),
+                             fd(s.z, s.kz, ck))
+        # nearest clump entry among this cell's candidates
+        t_entry = jnp.full_like(s.x, BIG)
+        next_ic = jnp.full_like(s.ic, -1)
+        for q in range(K):
+            cand = jnp.take(grid.table.reshape(-1), cell * K + q,
+                            mode='clip')
+            ok = cand >= 0
+            qx = _leaf_gather(grid.x, cand, 0.0)
+            qy = _leaf_gather(grid.y, cand, 0.0)
+            qz = _leaf_gather(grid.z, cand, 0.0)
+            qr2 = _leaf_gather(grid.r2, cand, 0.0)
+            ex, ey, ez = s.x - qx, s.y - qy, s.z - qz
+            eb = ex * s.kx + ey * s.ky + ez * s.kz
+            ec = ex * ex + ey * ey + ez * ez - qr2
+            edet = eb * eb - ec
+            tin = -eb - jnp.sqrt(jnp.maximum(edet, 0.0))
+            valid = jnp.logical_and(jnp.logical_and(ok, edet > 0.0),
+                                    jnp.logical_and(tin > EPS,
+                                                    tin <= t_cell + EPS))
+            better = jnp.logical_and(valid, tin < t_entry)
+            t_entry = jnp.where(better, tin, t_entry)
+            next_ic = jnp.where(better, cand, next_ic)
+        entering = t_entry < BIG
+        t_vac = jnp.where(entering, t_entry, t_cell + EPS)
+
+        t_seg = jnp.where(inside, t_exit_cl, t_vac)
+        ic_after = jnp.where(inside, -1, jnp.where(entering, next_ic, -1))
+        return t_seg, ic_after
+
+    def fly(state: BatchState, grid, tallies: Tallies, max_steps: int):
+
+        def cond(carry):
+            st, rec, n = carry
+            flying = jnp.logical_or(st.phase == FLYING, st.phase == FFS)
+            return jnp.logical_and(n < max_steps, jnp.any(flying))
+
+        def body(carry):
+            s, recs, n = carry
+            rec, (esc_b2_r, esc_wall_r) = recs
+            if save_Jmu:
+                (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
+                 esc_mu_r, ffs_mu_r) = rec
+            else:
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+            is_ffs = s.phase == FFS
+            moving = jnp.logical_or(s.phase == FLYING, is_ffs)
+            inside = s.ic >= 0
+
+            # clump-frame frequency for opacity (voigt_clump + ulos shift)
+            u_cl = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                     s.kx, s.ky, s.kz)
+            x_eval = s.xfreq - u_cl
+            a_cl = jnp.float32(meta.voigt_a_ref)
+            kap = jnp.where(inside,
+                            cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
+                            * line_profile(cfg, x_eval, a_cl,
+                                           jnp.float32(meta.Dfreq_ref)),
+                            0.0)
+            if meta.has_dust:
+                kap = kap + cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
+
+            t_seg, ic_after = seg_and_next(grid, s)
+
+            tgt = jnp.where(is_ffs, jnp.float32(FFS_TAU_CAP), s.tau_target)
+            dtau = t_seg * kap
+            hit = s.tau_run + dtau >= tgt
+            d_hit = (tgt - s.tau_run) / jnp.maximum(kap, TINY)
+            d_adv = jnp.where(hit, d_hit, t_seg + EPS)
+
+            xn = s.x + d_adv * s.kx
+            yn = s.y + d_adv * s.ky
+            zn = s.z + d_adv * s.kz
+            tau_n = jnp.where(hit, tgt, s.tau_run + dtau)
+            crossed = jnp.logical_and(moving, ~hit)
+            ic_new = jnp.where(crossed, ic_after, s.ic)
+            escaped = jnp.logical_and(crossed, jnp.logical_or(
+                jnp.logical_or(jnp.abs(xn) >= R, jnp.abs(yn) >= R),
+                jnp.abs(zn) >= R))
+
+            esc_fly = jnp.logical_and(escaped, s.phase == FLYING)
+            esc_ffs = jnp.logical_and(escaped, is_ffs)
+            ffs_done = jnp.logical_or(esc_ffs, jnp.logical_and(hit, is_ffs))
+
+            # escape: photon xfreq is global (reference Doppler units)
+            ix = jnp.floor((s.xfreq - meta.xfreq_min)
+                           / meta.dxfreq).astype(jnp.int32)
+            in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
+            rec_e = jnp.logical_and(esc_fly, in_rng)
+            esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
+                                 esc_ix_r)
+            esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
+            if save_Jmu:
+                esc_mu_r = jnp.where(rec_e, mu_bin(s.kz), esc_mu_r)
+
+            tau0 = tau_n
+            ixb = jnp.floor((s.bxfreq - meta.xfreq_min)
+                            / meta.dxfreq).astype(jnp.int32)
+            inb = jnp.logical_and(ixb >= 0, ixb < meta.nxfreq)
+            wgt_esc = s.wgt * jnp.exp(-tau0)
+            rec_f = jnp.logical_and(ffs_done, inb)
+            ffs_ix_r = jnp.where(rec_f, jnp.clip(ixb, 0, meta.nxfreq - 1),
+                                 ffs_ix_r)
+            ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
+            if save_Jmu:
+                ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+
+            wgt1 = 1.0 - jnp.exp(-tau0)
+            ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
+            phase_new = jnp.where(
+                esc_fly, DEAD,
+                jnp.where(ffs_vacuum, DEAD,
+                          jnp.where(ffs_done, FLYING,
+                                    jnp.where(jnp.logical_and(hit, ~is_ffs),
+                                              AT_SCATTER, s.phase))))
+
+            def rb(cur, birth):
+                return jnp.where(ffs_done, birth, cur)
+
+            s2 = s._replace(
+                phase=jnp.where(moving, phase_new, s.phase),
+                x=rb(jnp.where(moving, xn, s.x), s.bx),
+                y=rb(jnp.where(moving, yn, s.y), s.by),
+                z=rb(jnp.where(moving, zn, s.z), s.bz),
+                ic=rb(jnp.where(moving, ic_new, s.ic), s.bic),
+                kx=rb(s.kx, s.bkx), ky=rb(s.ky, s.bky), kz=rb(s.kz, s.bkz),
+                wgt=jnp.where(ffs_done, s.wgt * wgt1, s.wgt),
+                tau_run=jnp.where(ffs_done, 0.0,
+                                  jnp.where(moving, tau_n, s.tau_run)),
+                tau_target=jnp.where(
+                    ffs_done,
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                               * wgt1),
+                    s.tau_target))
+            rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+            return s2, (rec2, (esc_b2_r, esc_wall_r)), n + 1
+
+        B = state.x.shape[0]
+        rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+        if save_Jmu:
+            rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
+                           jnp.zeros((B,), jnp.int32))
+        b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
+        state, recs, _ = jax.lax.while_loop(
+            cond, body, (state, (rec0, b2_0), jnp.int32(0)))
+        rec, _b2 = recs
+        esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
+        tallies = tallies._replace(Jout=Jout)
+        if save_Jmu:
+            esc_mu, ffs_mu = rec[4], rec[5]
+            Jmu = tallies.Jmu.at[esc_ix * par.nmu + esc_mu].add(esc_w) \
+                .at[ffs_ix * par.nmu + ffs_mu].add(ffs_w)
+            tallies = tallies._replace(Jmu=Jmu)
+        return state, tallies
+
+    return fly
