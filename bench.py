@@ -59,7 +59,7 @@ def main():
     for i in range(3):
         state, tallies, alive, launched = chunk(state, grid,
                                                 jax.random.fold_in(key0, i),
-                                                n_shard, None)
+                                                n_shard, None, None)
         jax.block_until_ready(tallies)
 
     # timed region
@@ -69,7 +69,7 @@ def main():
     for i in range(3, 3 + n_chunks):
         state, tallies, alive, launched = chunk(state, grid,
                                                 jax.random.fold_in(key0, i),
-                                                n_shard, None)
+                                                n_shard, None, None)
         nscatt += float(tallies.nscatt_gas)
     jax.block_until_ready(tallies)
     dt = time.time() - t0

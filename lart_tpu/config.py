@@ -93,7 +93,9 @@ class Params:
     f_line: float = 0.0
     comoving_source: bool = True
     line_prof_file: str = ''
+    line_prof_file_type: int = 0
     star_file: str = ''
+    emiss_file: str = ''
 
     # --- physics switches
     recoil: bool = False

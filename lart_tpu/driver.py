@@ -53,6 +53,15 @@ def run(par: Params, *, seed: Optional[int] = None,
     obs = build_observers(cfg)
     obs_meta, odev = obs if obs is not None else (None, None)
 
+    # table-driven sources (sersic/star_file/diffuse_emissivity/...)
+    from .physics.sources import build_sources
+    host_data = {}
+    if not par.use_amr_grid and not par.use_clump_medium:
+        host_data['rhokap'] = np.asarray(grid.rhokap)
+    elif par.use_amr_grid and getattr(r, 'emissivity', None) is not None:
+        host_data['emissivity'] = r.emissivity
+    src = build_sources(cfg, meta, host_data)
+
     m = pmesh.make_mesh(par.n_devices)
     n_dev = len(m.devices.ravel())
     budgets = pmesh.shard_budget(par.nphotons, n_dev)
@@ -68,6 +77,7 @@ def run(par: Params, *, seed: Optional[int] = None,
         jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec('data')))
 
     odev = pmesh.device_put_replicated(odev, m) if odev is not None else None
+    src = pmesh.device_put_replicated(src, m) if src is not None else None
     chunk = pmesh.sharded_chunk(
         engine.make_chunk(cfg, meta, obs_meta, cmeta=cmeta), m)
 
@@ -108,7 +118,7 @@ def run(par: Params, *, seed: Optional[int] = None,
     for ci in range(max_chunks):
         key = jax.random.fold_in(key0, ci)
         state, tallies, alive, launched = chunk(state, grid, key, n_shard,
-                                                odev)
+                                                odev, src)
         tl = jax.tree_util.tree_map(np.asarray, tallies)
         acc['Jin'] += tl.Jin
         acc['Jout'] += tl.Jout

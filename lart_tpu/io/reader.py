@@ -45,6 +45,30 @@ class LartOutput:
         return "\n".join(lines)
 
 
+def read_3d_any(path: str) -> np.ndarray:
+    """Read a 3-D array from HDF5 (first dataset) or FITS (primary HDU)
+    (read_3D, reference src/read_grid_data.f90:21-140)."""
+    ext = path.rsplit('.', 1)[-1].lower()
+    if ext in ('h5', 'hdf5'):
+        with h5py.File(path, 'r') as f:
+            def first_dataset(g):
+                for k in g:
+                    if isinstance(g[k], h5py.Dataset):
+                        return np.asarray(g[k], np.float64)
+                    got = first_dataset(g[k])
+                    if got is not None:
+                        return got
+                return None
+            arr = first_dataset(f)
+            if arr is None:
+                raise ValueError(f'no dataset found in {path}')
+            # HDF5 is row-major (z,y,x) in the LaRT convention -> (x,y,z)
+            return np.ascontiguousarray(arr.T)
+    from astropy.io import fits
+    with fits.open(path) as hd:
+        return np.ascontiguousarray(np.asarray(hd[0].data, np.float64).T)
+
+
 def read_lart(path: str) -> LartOutput:
     with h5py.File(path, 'r') as f:
         g = f['Spectrum']

@@ -49,15 +49,15 @@ def sharded_chunk(chunk_fn, mesh: Mesh):
     programs orders of magnitude slower than plain programs.
     """
     if len(mesh.devices.ravel()) == 1:
-        def single(state, grid, key, n_shard, odev):
-            return chunk_fn(state, grid, key, n_shard, odev)
+        def single(state, grid, key, n_shard, odev, src=None):
+            return chunk_fn(state, grid, key, n_shard, odev, src)
         return jax.jit(single)
 
-    def wrapped(state, grid, key, n_shard, odev):
+    def wrapped(state, grid, key, n_shard, odev, src):
         # decorrelate device RNG streams
         key = jax.random.fold_in(key, jax.lax.axis_index('data'))
         state, tallies, alive, launched = chunk_fn(state, grid, key,
-                                                   n_shard, odev)
+                                                   n_shard, odev, src)
         tallies = jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, 'data'), tallies)
         alive = jax.lax.psum(alive, 'data')
@@ -67,7 +67,7 @@ def sharded_chunk(chunk_fn, mesh: Mesh):
     spec_state = P('data')
     return jax.jit(shard_map(
         wrapped, mesh=mesh,
-        in_specs=(spec_state, P(), P(), P('data'), P()),
+        in_specs=(spec_state, P(), P(), P('data'), P(), P()),
         out_specs=(spec_state, P(), P(), P()),
         check_rep=False))
 

@@ -1638,48 +1638,135 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
     par, line = cfg.par, cfg.line
     sg = par.source_geometry.strip().lower()
     st = par.spectral_type.strip().lower()
+    geom = par.geometry.strip().lower()
 
-    def gen_position(key, shape):
-        """Source position sampling (generate_photon.f90:33-341)."""
+    def _iso_sphere(rp, xi1, xi2):
+        cost = 2.0 * xi1 - 1.0
+        sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+        phi = 2.0 * math.pi * xi2
+        return rp * sint * jnp.cos(phi), rp * sint * jnp.sin(phi), rp * cost
+
+    def _zexp(xi_a, xi_b, shape):
+        """Truncated exponential in |z| up to zmax (rand_zexp,
+        random_mt.f90:1208-1221)."""
+        zs = par.source_zscale
+        c = 1.0 - math.exp(-par.zmax / zs)
+        zmag = -zs * jnp.log1p(-xi_a * c)
+        return jnp.where(xi_b < 0.5, -1.0, 1.0) * zmag
+
+    def gen_position(key, shape, grid, src):
+        """Source position sampling (generate_photon.f90:33-341).
+        Returns (x, y, z, wgt, dirn): wgt is the birth weight (non-unit for
+        composite-biased samplers), dirn is None for isotropic injection or
+        a static (cost, phi) pair for beamed sources."""
+        from ..physics import sources as src_mod
         xi = jax.random.uniform(key, (4,) + shape, jnp.float32)
+        one = jnp.ones(shape, jnp.float32)
         if sg in ('point', ''):
             x = jnp.full(shape, par.xs_point, jnp.float32)
             y = jnp.full(shape, par.ys_point, jnp.float32)
             z = jnp.full(shape, par.zs_point, jnp.float32)
-            return x, y, z
+            return x, y, z, one, None
         if sg in ('uniform_sphere', 'sphere'):
             rmax = par.source_rmax if par.source_rmax > 0 else par.rmax
             rp = xi[0] ** (1.0 / 3.0) * rmax
-            cost = 2.0 * xi[1] - 1.0
-            sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
-            phi = 2.0 * math.pi * xi[2]
-            return rp * sint * jnp.cos(phi), rp * sint * jnp.sin(phi), rp * cost
+            x, y, z = _iso_sphere(rp, xi[1], xi[2])
+            return x, y, z, one, None
+        if sg in ('uniform_cylinder', 'cylinder'):
+            rmax = par.source_rmax if par.source_rmax > 0 else par.rmax
+            rp = jnp.sqrt(xi[0]) * rmax
+            phi = 2.0 * math.pi * xi[1]
+            return (rp * jnp.cos(phi), rp * jnp.sin(phi),
+                    meta.zmin + meta.zrange * xi[2], one, None)
         if sg == 'uniform':
             return (meta.xmin + meta.xrange * xi[0],
                     meta.ymin + meta.yrange * xi[1],
-                    meta.zmin + meta.zrange * xi[2])
+                    meta.zmin + meta.zrange * xi[2], one, None)
         if sg == 'uniform_xy':
+            if par.source_rmax > 0:
+                rp = jnp.sqrt(xi[0]) * par.source_rmax
+                phi = 2.0 * math.pi * xi[1]
+                return (rp * jnp.cos(phi), rp * jnp.sin(phi),
+                        jnp.zeros(shape, jnp.float32), one, None)
             return (meta.xmin + meta.xrange * xi[0],
                     meta.ymin + meta.yrange * xi[1],
-                    jnp.zeros(shape, jnp.float32))
+                    jnp.zeros(shape, jnp.float32), one, None)
         if sg == 'gaussian':
             kz_ = jax.random.fold_in(key, 7)
             g = jax.random.normal(kz_, shape, jnp.float32)
             return (meta.xmin + meta.xrange * xi[0],
                     meta.ymin + meta.yrange * xi[1],
-                    par.source_zscale / math.sqrt(2.0) * g)
+                    par.source_zscale / math.sqrt(2.0) * g, one, None)
         if sg == 'exponential':
-            # truncated exponential in |z| up to zmax (rand_zexp)
-            zs = par.source_zscale
-            c = 1.0 - math.exp(-par.zmax / zs)
-            zmag = -zs * jnp.log1p(-xi[2] * c)
-            sign = jnp.where(xi[3] < 0.5, -1.0, 1.0)
             return (meta.xmin + meta.xrange * xi[0],
-                    meta.ymin + meta.yrange * xi[1], sign * zmag)
+                    meta.ymin + meta.yrange * xi[1],
+                    _zexp(xi[2], xi[3], shape), one, None)
+        if sg in ('exponential_sphere', 'sersic', 'ssh'):
+            kr = jax.random.fold_in(key, 3)
+            rp = src_mod.sample_radius_loglog(kr, src.r_p, src.r_r, shape)
+            x, y, z = _iso_sphere(rp, xi[1], xi[2])
+            return x, y, z, one, None
+        if sg == 'exponential_cylinder':
+            kr = jax.random.fold_in(key, 3)
+            rp = src_mod.sample_radius_loglog(kr, src.r_p, src.r_r, shape)
+            phi = 2.0 * math.pi * xi[1]
+            if par.source_zscale > 0:
+                z = _zexp(xi[2], xi[3], shape)
+            else:
+                z = meta.zmin + meta.zrange * xi[2]
+            return rp * jnp.cos(phi), rp * jnp.sin(phi), z, one, None
+        if sg == 'star_file':
+            kidx = jax.random.fold_in(key, 3)
+            idx = samplers.alias_sample(kidx, src.star_prob, src.star_alias,
+                                        shape)
+            wgt = src.star_wgt[idx] if src.star_wgt is not None else one
+            return (src.star_x[idx], src.star_y[idx], src.star_z[idx],
+                    wgt, None)
+        if sg == 'plane_illumination':
+            # beamed external illumination (random_plane_illumination,
+            # generate_photon.f90:729-813)
+            if geom == 'plane_atmosphere':
+                z = jnp.full(shape, par.zmax, jnp.float32)
+                return (jnp.zeros(shape, jnp.float32),
+                        jnp.zeros(shape, jnp.float32), z, one, (-1.0, 0.0))
+            # spherical_atmosphere: disk at zmin beaming +z
+            rmax = meta.xmax if par.rmax <= 0 else par.rmax
+            rp = jnp.sqrt(xi[0]) * rmax
+            dphi = 0.5 * math.pi if par.xy_symmetry else 2.0 * math.pi
+            phi = dphi * xi[1]
+            return (rp * jnp.cos(phi), rp * jnp.sin(phi),
+                    jnp.full(shape, meta.zmin, jnp.float32), one,
+                    (1.0, 0.0))
+        if sg == 'diffuse_emissivity':
+            if src is not None and src.ep_axis is not None:
+                kp = jax.random.fold_in(key, 3)
+                v, wgt = src_mod.sample_alias_linear(kp, src, shape)
+                if geom == 'plane_atmosphere':
+                    return (meta.xmin + meta.xrange * xi[0],
+                            meta.ymin + meta.yrange * xi[1], v, wgt, None)
+                x, y, z = _iso_sphere(v, xi[1], xi[2])
+                return x, y, z, wgt, None
+            kidx = jax.random.fold_in(key, 3)
+            idx = samplers.alias_sample(kidx, src.em_prob, src.em_alias,
+                                        shape)
+            wgt = src.em_wgt[idx] if src.em_wgt is not None else one
+            if meta.grid_type == 'amr':
+                ch = grid.leaf_ch[idx]
+                return (grid.leaf_cx[idx] + (2.0 * xi[1] - 1.0) * ch,
+                        grid.leaf_cy[idx] + (2.0 * xi[2] - 1.0) * ch,
+                        grid.leaf_cz[idx] + (2.0 * xi[3] - 1.0) * ch,
+                        wgt, None)
+            kc_ = idx % meta.nz
+            jc_ = (idx // meta.nz) % meta.ny
+            ic_ = idx // (meta.ny * meta.nz)
+            return (meta.xmin + (ic_.astype(jnp.float32) + xi[1]) * meta.dx,
+                    meta.ymin + (jc_.astype(jnp.float32) + xi[2]) * meta.dy,
+                    meta.zmin + (kc_.astype(jnp.float32) + xi[3]) * meta.dz,
+                    wgt, None)
         raise NotImplementedError(f'source_geometry {sg!r}')
 
     def refill(state: BatchState, grid: GridDevice, tallies: Tallies, key,
-               n_shard, odev=None):
+               n_shard, odev=None, src=None):
         s, t = state, tallies
         dead = s.phase == DEAD
         remaining = (n_shard - s.n_launched)[0]
@@ -1689,15 +1776,22 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
 
         keys = jax.random.split(key, 6)
         shape = s.x.shape
-        x, y, z = gen_position(keys[0], shape)
+        x, y, z, wgt_birth, dirn = gen_position(keys[0], shape, grid, src)
         if par.xyz_symmetry and sg not in ('point', ''):
             x, y, z = jnp.abs(x), jnp.abs(y), jnp.abs(z)
 
-        # isotropic direction (setup_isotropic_injection)
-        xi = jax.random.uniform(keys[1], (2,) + shape, jnp.float32)
-        cost = 2.0 * xi[0] - 1.0
-        sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
-        phi = 2.0 * math.pi * xi[1]
+        if dirn is None:
+            # isotropic direction (setup_isotropic_injection)
+            xi = jax.random.uniform(keys[1], (2,) + shape, jnp.float32)
+            cost = 2.0 * xi[0] - 1.0
+            sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+            phi = 2.0 * math.pi * xi[1]
+        else:
+            # beamed source: fixed (cost, phi)
+            cost = jnp.full(shape, dirn[0], jnp.float32)
+            sint = jnp.full(shape, math.sqrt(max(1.0 - dirn[0] ** 2, 0.0)),
+                            jnp.float32)
+            phi = jnp.full(shape, dirn[1], jnp.float32)
         kx = sint * jnp.cos(phi)
         ky = sint * jnp.sin(phi)
         kz = cost
@@ -1729,6 +1823,20 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             xfreq = xfreq + branch_init_shift(cfg, keys[5], shape, D_loc)
         if st == 'voigt':
             xfreq = xfreq + samplers.rand_voigt_x(keys[2], a_loc, shape)
+        elif st == 'voigt0':
+            # source temperature independent of the cell temperature
+            # (generate_photon.f90:249-252; Dfreq0/voigt_a0 from
+            # temperature0, setup.f90:140-142)
+            from ..config import vtherm_total
+            from ..constants import UM2KM, FOURPI
+            T0 = par.temperature0 if par.temperature0 > 0 else par.temperature
+            vth0 = vtherm_total(par, line, T0)
+            Dfreq0 = par.Dfreq0 if par.Dfreq0 > 0 \
+                else vth0 / (line.wavelength0 * UM2KM)
+            va0 = par.voigt_a0 if par.voigt_a0 > 0 \
+                else (line.damping / FOURPI) / Dfreq0
+            xfreq = xfreq + samplers.rand_voigt_x(
+                keys[2], jnp.float32(va0), shape) * (Dfreq0 / D_loc)
         elif st == 'monochromatic':
             pass
         elif st == 'gaussian':
@@ -1740,6 +1848,33 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             u = jax.random.uniform(keys[2], shape, jnp.float32)
             xfreq = (meta.xfreq_min + u * (meta.xfreq_max - meta.xfreq_min)) \
                 / (D_loc / meta.Dfreq_ref)
+        elif st == 'continuum+gaussian':
+            # flat continuum + Gaussian line with EW-derived line fraction
+            # (Garel et al. 2024 convention; generate_photon.f90:275-305)
+            fwhm = par.gaussian_FWHM_vel if par.gaussian_FWHM_vel > 0 \
+                else 150.0
+            from ..constants import SPEEDC
+            EW_vel = par.EW_line / (line.wavelength0 * 1e4) * SPEEDC
+            dv_range = (meta.xfreq_max - meta.xfreq_min) * cfg.vtherm
+            f_line = EW_vel / (EW_vel + dv_range)
+            sigma_x = fwhm / 2.3548200450309493 / cfg.vtherm
+            kk = jax.random.split(keys[2], 3)
+            is_line = jax.random.uniform(kk[0], shape, jnp.float32) < f_line
+            g = jax.random.normal(kk[1], shape, jnp.float32)
+            u = jax.random.uniform(kk[2], shape, jnp.float32)
+            xfreq = jnp.where(
+                is_line, xfreq + g * sigma_x,
+                meta.xfreq_min + u * (meta.xfreq_max - meta.xfreq_min)) \
+                / (D_loc / meta.Dfreq_ref)
+        elif st == 'line_prof_file':
+            # alias over profile bins, uniform within the bin
+            # (rand_alias_constant; setup_line_profile, setup.f90:651-746)
+            k1_, k2_ = jax.random.split(keys[2])
+            idx = samplers.alias_sample(k1_, src.lp_prob, src.lp_alias, shape)
+            u = jax.random.uniform(k2_, shape, jnp.float32)
+            lo = src.lp_edges[idx]
+            hi = src.lp_edges[idx + 1]
+            xfreq = (lo + u * (hi - lo)) / (D_loc / meta.Dfreq_ref)
         else:
             raise NotImplementedError(f'spectral_type {st!r}')
 
@@ -1754,7 +1889,7 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
                             / meta.dxfreq).astype(jnp.int32)
             inj = jnp.logical_and(ixj >= 0, ixj < meta.nxfreq)
             Jin = t.Jin.at[jnp.clip(ixj, 0, meta.nxfreq - 1)].add(
-                jnp.where(jnp.logical_and(launch, inj), 1.0, 0.0))
+                jnp.where(jnp.logical_and(launch, inj), wgt_birth, 0.0))
             t = t._replace(Jin=Jin)
 
         # the FFS restart draws tau = -log(1 - xi*wgt1); stash xi in
@@ -1781,7 +1916,7 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             nnz=w(jnp.zeros(shape, jnp.float32), s.nnz),
             ic=w(ic, s.ic), jc=w(jc, s.jc), kc=w(kc, s.kc),
             xfreq=w(xfreq, s.xfreq),
-            wgt=w(jnp.ones(shape, jnp.float32), s.wgt),
+            wgt=w(wgt_birth, s.wgt),
             tau_target=w(xi_ffs, s.tau_target),
             tau_run=w(jnp.zeros(shape, jnp.float32), s.tau_run),
             bx=w(x, s.bx), by=w(y, s.by), bz=w(z, s.bz),
@@ -1860,10 +1995,11 @@ def make_cycle(cfg: ResolvedConfig, meta: GridMeta):
     refill = make_refill(cfg, meta)
     fly_substeps = cfg.par.fly_substeps
 
-    def cycle(state, grid, tallies, key, n_shard, do_refill=True):
+    def cycle(state, grid, tallies, key, n_shard, do_refill=True, src=None):
         k1, k2 = jax.random.split(key)
         if do_refill:
-            state, tallies = refill(state, grid, tallies, k1, n_shard)
+            state, tallies = refill(state, grid, tallies, k1, n_shard,
+                                    src=src)
         state, tallies = fly(state, grid, tallies, fly_substeps)
         state, tallies = scatter(state, grid, tallies, k2)
         return state, tallies
@@ -1893,7 +2029,7 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
 
     nmu_t = cfg.par.nmu if cfg.par.save_Jmu else 0
 
-    def chunk(state, grid, key, n_shard, odev=None):
+    def chunk(state, grid, key, n_shard, odev=None, src=None):
         tallies = zero_tallies(meta.nxfreq, peel=peel_zero(), nmu=nmu_t,
                                nbin_JPa=meta.nbin_JPa, calcJ=cfg.par.calcJ,
                                calcP=cfg.par.calcP,
@@ -1908,7 +2044,8 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
             # most refill_every cycles; refill is ~20% of cycle cost)
             st, tl = jax.lax.cond(
                 i % refill_every == 0,
-                lambda st, tl: refill(st, grid, tl, k1, n_shard, odev),
+                lambda st, tl: refill(st, grid, tl, k1, n_shard, odev,
+                                      src),
                 lambda st, tl: (st, tl), st, tl)
             st, tl = fly(st, grid, tl, cfg.par.fly_substeps)
             st, tl = scatter(st, grid, tl, k2, odev)

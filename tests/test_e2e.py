@@ -17,6 +17,8 @@ from lart_tpu.transport import engine
 def run_config(par, n_chunks=400, seed=7):
     cfg = par.resolve()
     meta, grid = build_cartesian(cfg)
+    from lart_tpu.physics.sources import build_sources
+    src = build_sources(cfg, meta, {'rhokap': np.asarray(grid.rhokap)})
     chunk = jax.jit(engine.make_chunk(cfg, meta))
     st = engine.init_state(par.batch_size)
     ns = jnp.asarray([par.nphotons], jnp.int32)
@@ -26,7 +28,7 @@ def run_config(par, n_chunks=400, seed=7):
     done = False
     for i in range(n_chunks):
         st, tl, alive, launched = chunk(st, grid, jax.random.fold_in(key, i),
-                                        ns, None)
+                                        ns, None, src)
         tot['nsc'] += float(tl.nscatt_gas)
         tot['jout'] += np.asarray(tl.Jout)
         tot['jin'] += np.asarray(tl.Jin)
