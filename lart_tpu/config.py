@@ -289,24 +289,21 @@ class Params:
         array_rx = re.compile(r'^([a-zA-Z_0-9]+)\s*\(\s*(\d+)\s*\)$')
         arrays: dict = {}
         seen: set = set()
+        assign_rx = re.compile(
+            r"par\s*%\s*([a-zA-Z_0-9()\s]+?)\s*=\s*"
+            r"('[^']*'|\"[^\"]*\"|[^\s,]+(?:\s*,\s*[^\s,]+)*?)"
+            r"(?=\s+par\s*%|\s*,?\s*$|\s*$)")
         for raw in text.splitlines():
             stmt = raw.split('!')[0].strip()
             if not stmt or stmt.startswith('&') or stmt == '/':
                 continue
-            m = re.match(r"par\s*%\s*([a-zA-Z_0-9%()\s]+?)\s*=\s*(.+)$", stmt)
-            if not m:
+            matches = list(assign_rx.finditer(stmt))
+            if not matches:
                 continue
-            key, val = m.group(1).strip(), m.group(2).strip()
-            am = array_rx.match(key)
-            if am:
-                base, idx = am.group(1), int(am.group(2))
-                arrays.setdefault(base.lower(), {})[idx] = _parse_scalar(val)
-                continue
-            k = lower.get(key.lower())
-            if k is None:
-                raise KeyError(f'unknown parameter: par%{key}')
-            setattr(p, k, _coerce(_parse_scalar(val), fields[k].type, getattr(p, k)))
-            seen.add(k)
+            for m in matches:
+                key, val = m.group(1).strip(), m.group(2).strip()
+                cls._apply_assignment(p, fields, lower, array_rx, arrays,
+                                      seen, key, val)
         for base, items in arrays.items():
             k = lower.get(base)
             if k is None:
@@ -318,6 +315,21 @@ class Params:
         if 'no_photons' in seen and 'nphotons' not in seen:
             p.nphotons = int(round(p.no_photons))
         return p
+
+    @classmethod
+    def _apply_assignment(cls, p, fields, lower, array_rx, arrays, seen,
+                          key, val):
+        am = array_rx.match(key)
+        if am:
+            base, idx = am.group(1), int(am.group(2))
+            arrays.setdefault(base.lower(), {})[idx] = _parse_scalar(val)
+            return
+        k = lower.get(key.lower())
+        if k is None:
+            raise KeyError(f'unknown parameter: par%{key}')
+        setattr(p, k, _coerce(_parse_scalar(val), fields[k].type,
+                              getattr(p, k)))
+        seen.add(k)
 
     def resolve(self) -> 'ResolvedConfig':
         return resolve(self)
@@ -408,6 +420,19 @@ def resolve(par: Params) -> ResolvedConfig:
     """
     line = lines_mod.get_line(par.line_id, par.fine_structure,
                               par.include_deuterium)
+
+    # interior (HEALPix) observer vetoes (setup.f90:169-250: no clump,
+    # no ly_beta, no Stokes all-sky maps)
+    if par.nside > 0:
+        if par.use_clump_medium:
+            raise ValueError('nside>0 (HEALPix inside observer) is not '
+                             'supported with clump mode')
+        if line.line_type == 8:
+            raise ValueError('ly_beta: inside-observer (HEALPix) not '
+                             'supported')
+        if par.use_stokes:
+            raise ValueError('use_stokes with an inside (HEALPix) observer '
+                             'is not supported')
 
     # Mueller-matrix dust table: an explicit scatt_mat_file (or, for
     # Stokes+dust runs, the bundled table nearest in wavelength) overrides

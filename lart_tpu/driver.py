@@ -169,8 +169,16 @@ def run(par: Params, *, seed: Optional[int] = None,
                 cur_B = min_B
     exetime = time.time() - t0
 
-    return normalize(cfg, meta, acc, nphotons, exetime_s=exetime,
-                     obs_meta=obs_meta)
+    res = normalize(cfg, meta, acc, nphotons, exetime_s=exetime,
+                    obs_meta=obs_meta)
+    # sight-line tau / column maps (make_sightline_tau,
+    # sightline_tau_rect.f90:11-340 / sightline_tau_heal.f90:12-146)
+    if par.save_sightline_tau and obs_meta is not None \
+            and meta.grid_type == 'cartesian':
+        from .instruments.sightline import make_sightline
+        sl = make_sightline(cfg, meta, obs_meta)
+        res.sightline = [sl(grid, odev, i) for i in range(obs_meta.nobs)]
+    return res
 
 
 def _compact_shrink(state, n_dev, B_new, mesh):

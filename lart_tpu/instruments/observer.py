@@ -32,6 +32,12 @@ class ObserverSetMeta:
     dyim: float
     distance: float
     steradian_pix: float
+    # interior all-sky observer (nside > 0): HEALPix RING maps instead of
+    # TAN images (observer_create_inside, reference src/observer_heal.f90:
+    # 10-75); nxim = npix, nyim = 1 so every cube keeps its layout
+    inside: bool = False
+    nside: int = 0
+    npix: int = 0
 
 
 class ObserverDevice(NamedTuple):
@@ -48,6 +54,34 @@ def build_observers(cfg: ResolvedConfig
     par = cfg.par
     if not par.save_peeloff:
         return None
+
+    if par.nside > 0:
+        # interior observer: all-sky HEALPix maps
+        from .healpix import nside2npix
+        nside = par.nside if par.nside >= 1 else 64
+        npix = nside2npix(nside)
+
+        def fin_or(v, d):
+            return float(v) if _fin(v) else d
+        xs = [fin_or(par.obsx[0] if par.obsx else float('nan'), 0.0)]
+        ys = [fin_or(par.obsy[0] if par.obsy else float('nan'), 0.0)]
+        zs = [fin_or(par.obsz[0] if par.obsz else float('nan'), 0.0)]
+        # additional finite coordinate triples -> more interior observers
+        for i in range(1, min(len(par.obsx), len(par.obsy), len(par.obsz))):
+            if _fin(par.obsx[i]) and _fin(par.obsy[i]) and _fin(par.obsz[i]):
+                xs.append(par.obsx[i])
+                ys.append(par.obsy[i])
+                zs.append(par.obsz[i])
+        positions = np.stack([np.array([x, y, z])
+                              for x, y, z in zip(xs, ys, zs)])
+        rmats = np.broadcast_to(np.eye(3), (len(xs), 3, 3)).copy()
+        meta = ObserverSetMeta(
+            nobs=len(xs), nxim=npix, nyim=1, dxim=0.0, dyim=0.0,
+            distance=0.0, steradian_pix=4.0 * math.pi / npix,
+            inside=True, nside=nside, npix=npix)
+        dev = ObserverDevice(pos=jnp.asarray(positions, jnp.float32),
+                             rmat=jnp.asarray(rmats, jnp.float32))
+        return meta, dev
 
     def arr(t, n):
         out = list(t) + [float('nan')] * (n - len(t))

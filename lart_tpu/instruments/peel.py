@@ -71,10 +71,13 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
     # tau to the grid edge along a fixed direction (per (nobs, B) lane)
     # ------------------------------------------------------------------
     def tau_to_edge(grid, x, y, z, ic, jc, kc, kx, ky, kz, xfreq, active,
-                    max_steps):
+                    max_steps, cap=None):
         """Lockstep DDA accumulating optical depth to the boundary; respects
         the same periodic/reflect boundary ops as the transport raytrace
-        (raytrace_to_edge_* family)."""
+        (raytrace_to_edge_* family).  With `cap` (per-lane distance), the
+        integration stops at that path length instead of the edge -- the
+        raytrace_to_dist contract used by interior observers
+        (peeling_*_inside, reference src/peelingoff_heal.f90:12-251)."""
 
         def face_dist(pos, k, idx, amin, d, n, skip):
             if skip:
@@ -111,11 +114,11 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
         zmx = zmn + nz * dz
 
         def cond(c):
-            (x, y, z, ic, jc, kc, kx, ky, kz, xf, tau, live), n = c
+            (x, y, z, ic, jc, kc, kx, ky, kz, xf, tau, trav, live), n = c
             return jnp.logical_and(n < max_steps, jnp.any(live))
 
         def body(c):
-            (x, y, z, ic, jc, kc, kx, ky, kz, xf, tau, live), n = c
+            (x, y, z, ic, jc, kc, kx, ky, kz, xf, tau, trav, live), n = c
             a_cell = cell_voigt_a(grid, meta, ic, jc, kc)
             D_cell = cell_Dfreq(grid, meta, ic, jc, kc)
             rk = cell_rhokap(grid, meta, ic, jc, kc)
@@ -144,7 +147,14 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
                 tz = axis_t(z, kz, ccz)
                 dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
                 axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
-                tau_n = jnp.where(live, tau + dmin * rho, tau)
+                if cap is not None:
+                    dleft = jnp.maximum(cap - trav, 0.0)
+                    hit_cap = dmin >= dleft
+                    dstep = jnp.minimum(dmin, dleft)
+                else:
+                    hit_cap = jnp.zeros_like(live)
+                    dstep = dmin
+                tau_n = jnp.where(live, tau + dstep * rho, tau)
                 kax = jnp.where(axis == 0, kx, jnp.where(axis == 1, ky, kz))
                 face = axis * 2 + jnp.where(kax > 0, 0, 1)
                 fxp = ccx + jnp.where(kx > 0, hh, -hh)
@@ -170,7 +180,14 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
                 tz = face_dist(z, kz, kc, zmn, dz, nz, False)
                 dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
                 axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
-                tau_n = jnp.where(live, tau + dmin * rho, tau)
+                if cap is not None:
+                    dleft = jnp.maximum(cap - trav, 0.0)
+                    hit_cap = dmin >= dleft
+                    dstep = jnp.minimum(dmin, dleft)
+                else:
+                    hit_cap = jnp.zeros_like(live)
+                    dstep = dmin
+                tau_n = jnp.where(live, tau + dstep * rho, tau)
 
                 stx = jnp.where(kx > 0, 1, -1)
                 sty = jnp.where(ky > 0, 1, -1)
@@ -205,15 +222,17 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
                 xfn = (xf + u1) * D_cell / D2 - u2
                 xf = jnp.where(jnp.logical_and(live, ~esc), xfn, xf)
 
+            trav_n = jnp.where(live, trav + dstep, trav)
             live = jnp.logical_and(live, ~esc)
+            live = jnp.logical_and(live, ~hit_cap)
             live = jnp.logical_and(live, tau_n < TAU_HUGE)
             return (xn, yn, zn, icn, jcn, kcn, kxn, kyn, kzn, xf,
-                    tau_n, live), n + 1
+                    tau_n, trav_n, live), n + 1
 
         live0 = active
         tau0 = jnp.zeros_like(x)
-        carry = ((x, y, z, ic, jc, kc, kx, ky, kz, xfreq, tau0, live0),
-                 jnp.int32(0))
+        carry = ((x, y, z, ic, jc, kc, kx, ky, kz, xfreq, tau0,
+                  jnp.zeros_like(x), live0), jnp.int32(0))
         (out, _) = jax.lax.while_loop(cond, body, carry)
         return out[10]   # tau
 
@@ -222,12 +241,27 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
     # ------------------------------------------------------------------
     # geometry helpers (per observer o, batch arrays)
     # ------------------------------------------------------------------
+    inside = obs.inside
+    if inside:
+        from .healpix import vec2pix_ring
+
     def obs_geometry(odev: ObserverDevice, o: int, s):
+        """Direction/pixel geometry toward observer o.  Returns
+        (pk, r2, img_idx, in_img, cap): img_idx is the flat in-image pixel
+        (TAN ix*nyim+iy outside; HEALPix RING id inside), cap is the
+        distance to the observer for interior observers (tau integration
+        stops there) or None."""
         ox, oy, oz = (odev.pos[o, 0], odev.pos[o, 1], odev.pos[o, 2])
         pkx, pky, pkz = ox - s.x, oy - s.y, oz - s.z
         r2 = pkx * pkx + pky * pky + pkz * pkz
-        r = jnp.sqrt(r2)
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
         pkx, pky, pkz = pkx / r, pky / r, pkz / r
+        if inside:
+            # all-sky map: pixel of the ARRIVAL direction -pk
+            # (peeling_*_inside, peelingoff_heal.f90:36,127,200)
+            ipix = vec2pix_ring(obs.nside, -pkx, -pky, -pkz)
+            ok = jnp.ones(r2.shape, bool)
+            return (pkx, pky, pkz), r2, ipix, ok, r
         R = odev.rmat[o]
         kx = R[0, 0] * pkx + R[0, 1] * pky + R[0, 2] * pkz
         ky = R[1, 0] * pkx + R[1, 1] * pky + R[1, 2] * pkz
@@ -238,10 +272,12 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
                        + nyim / 2.0).astype(jnp.int32)
         in_img = jnp.logical_and(jnp.logical_and(ix >= 0, ix < nxim),
                                  jnp.logical_and(iy >= 0, iy < nyim))
-        return (pkx, pky, pkz), r2, (ix, iy), in_img
+        img = (jnp.clip(ix, 0, nxim - 1) * nyim
+               + jnp.clip(iy, 0, nyim - 1))
+        return (pkx, pky, pkz), r2, img, in_img, None
 
-    def flat_idx(o, ixf, ix, iy):
-        return ((o * nxfreq + ixf) * nxim + ix) * nyim + iy
+    def flat_idx(o, ixf, img):
+        return (o * nxfreq + ixf) * (nxim * nyim) + img
 
     def freq_bin(grid, s, pk, xfreq_com):
         """Comoving frequency at the event cell -> lab bin index."""
@@ -261,7 +297,7 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
         direc = cubes.direc
         I = cubes.I
         for o in range(obs.nobs):
-            pk, r2, (ix, iy), in_img = obs_geometry(odev, o, s)
+            pk, r2, img, in_img, cap = obs_geometry(odev, o, s)
             # comoving-source convention: peel frequency toward the observer
             xfreq_peel = s.xfreq
             if not par.comoving_source and not meta.static_medium:
@@ -272,12 +308,11 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
             ixf, okf = freq_bin(grid, s, pk, xfreq_peel)
             act = jnp.logical_and(active, in_img)
             tau = tau_to_edge(grid, s.x, s.y, s.z, s.ic, s.jc, s.kc,
-                              pk[0], pk[1], pk[2], xfreq_peel, act, max_steps)
+                              pk[0], pk[1], pk[2], xfreq_peel, act, max_steps,
+                              cap=cap)
             wgt = jnp.exp(-jnp.minimum(tau, 700.0)) / (FOURPI * r2) * s.wgt
             dep = jnp.where(jnp.logical_and(act, okf), wgt, 0.0)
-            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1),
-                           jnp.clip(ix, 0, nxim - 1),
-                           jnp.clip(iy, 0, nyim - 1))
+            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1), img)
             direc = direc.at[idx].add(dep)
             if par.use_stokes:
                 I = I.at[idx].add(dep)
@@ -298,7 +333,7 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
         ph = s['state']
         D_cell = cell_Dfreq(grid, meta, ph.ic, ph.jc, ph.kc)
         for o in range(obs.nobs):
-            pk, r2, (ix, iy), in_img = obs_geometry(odev, o, ph)
+            pk, r2, img, in_img, cap = obs_geometry(odev, o, ph)
             cost = ph.kx * pk[0] + ph.ky * pk[1] + ph.kz * pk[2]
             cost2 = cost * cost
             sint = jnp.sqrt(jnp.maximum(1.0 - cost2, 0.0))
@@ -329,12 +364,11 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
             ixf, okf = freq_bin(grid, ph, pk, xfreq)
             act = jnp.logical_and(active, in_img)
             tau = tau_to_edge(grid, ph.x, ph.y, ph.z, ph.ic, ph.jc, ph.kc,
-                              pk[0], pk[1], pk[2], xfreq, act, max_steps)
+                              pk[0], pk[1], pk[2], xfreq, act, max_steps,
+                              cap=cap)
             atten = jnp.exp(-jnp.minimum(tau, 700.0))
 
-            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1),
-                           jnp.clip(ix, 0, nxim - 1),
-                           jnp.clip(iy, 0, nyim - 1))
+            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1), img)
             okdep = jnp.logical_and(act, okf)
 
             if par.use_stokes:
@@ -395,16 +429,15 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
         I, Q, U, V = cubes.I, cubes.Q, cubes.U, cubes.V
         g = par.hgg
         for o in range(obs.nobs):
-            pk, r2, (ix, iy), in_img = obs_geometry(odev, o, s)
+            pk, r2, img, in_img, cap = obs_geometry(odev, o, s)
             cosa = s.kx * pk[0] + s.ky * pk[1] + s.kz * pk[2]
             ixf, okf = freq_bin(grid, s, pk, s.xfreq)
             act = jnp.logical_and(active, in_img)
             tau = tau_to_edge(grid, s.x, s.y, s.z, s.ic, s.jc, s.kc,
-                              pk[0], pk[1], pk[2], s.xfreq, act, max_steps)
+                              pk[0], pk[1], pk[2], s.xfreq, act, max_steps,
+                              cap=cap)
             atten = jnp.exp(-jnp.minimum(tau, 700.0))
-            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1),
-                           jnp.clip(ix, 0, nxim - 1),
-                           jnp.clip(iy, 0, nyim - 1))
+            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1), img)
             okdep = jnp.logical_and(act, okf)
             if mueller is not None:
                 from ..physics.mueller import interp_S

@@ -38,20 +38,22 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
     xmx, ymx, zmx = xmn + nx * dx, ymn + ny * dy, zmn + nz * dz
     max_steps = 2 * (nx + ny + nz) + 8
 
-    def integrate(grid, x, y, z, kx, ky, kz, xfreq, mode):
+    def integrate(grid, x, y, z, kx, ky, kz, xfreq, mode, cap=None):
         """Walk rays accumulating: mode 0 = gas line tau at comoving xfreq
-        (with comoving updates), 1 = N_gas column, 2 = dust tau."""
+        (with comoving updates), 1 = N_gas column, 2 = dust tau.  `cap`
+        limits the path length (raytrace_to_dist contract; used by the
+        interior HEALPix maps, sightline_tau_heal.f90:12-146)."""
 
         ic = jnp.clip(jnp.floor((x - xmn) / dx).astype(jnp.int32), 0, nx - 1)
         jc = jnp.clip(jnp.floor((y - ymn) / dy).astype(jnp.int32), 0, ny - 1)
         kc = jnp.clip(jnp.floor((z - zmn) / dz).astype(jnp.int32), 0, nz - 1)
 
         def cond(c):
-            (_, _, _, _, _, _, _, live), n = c
+            (_, _, _, _, _, _, _, _, live), n = c
             return jnp.logical_and(n < max_steps, jnp.any(live))
 
         def body(c):
-            (x, y, z, ic, jc, kc, acc, live), n = c
+            (x, y, z, ic, jc, kc, trav, acc, live), n = c
             xf = acc[1]
             D_cell = cell_Dfreq(grid, meta, ic, jc, kc)
             if mode == 0:
@@ -79,7 +81,14 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
             tz = fd(z, kz, kc, zmn, dz)
             dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
             axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
-            tau = jnp.where(live, acc[0] + dmin * rho, acc[0])
+            if cap is not None:
+                dleft = jnp.maximum(cap - trav, 0.0)
+                hit_cap = dmin >= dleft
+                dstep = jnp.minimum(dmin, dleft)
+            else:
+                hit_cap = jnp.zeros_like(live)
+                dstep = dmin
+            tau = jnp.where(live, acc[0] + dstep * rho, acc[0])
 
             icn = jnp.where(jnp.logical_and(live, axis == 0),
                             ic + jnp.where(kx > 0, 1, -1), ic)
@@ -106,15 +115,17 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
                 xf = jnp.where(jnp.logical_and(live, ~out),
                                (xf + u1) * D_cell / D2 - u2, xf)
             live = jnp.logical_and(live, ~out)
+            live = jnp.logical_and(live, ~hit_cap)
+            trav_n = jnp.where(live, trav + dstep, trav)
             return ((xn, yn, zn, jnp.clip(icn, 0, nx - 1),
                      jnp.clip(jcn, 0, ny - 1), jnp.clip(kcn, 0, nz - 1),
-                     (tau, xf), live), n + 1)
+                     trav_n, (tau, xf), live), n + 1)
 
         live0 = jnp.ones_like(x, bool)
-        carry = ((x, y, z, ic, jc, kc,
+        carry = ((x, y, z, ic, jc, kc, jnp.zeros_like(x),
                   (jnp.zeros_like(x), xfreq), live0), jnp.int32(0))
         (out, _) = jax.lax.while_loop(cond, body, carry)
-        return out[6][0]
+        return out[7][0]
 
     def ray_origins(odev: ObserverDevice, iobs: int):
         """Pixel-center rays from the observer, clipped to the box entry
@@ -148,8 +159,38 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
         start = o + (t0 + eps)[None, :] * k
         return start, k, hit
 
+    def ray_origins_inside(odev: ObserverDevice, iobs: int):
+        """Interior all-sky map: for each HEALPix pixel direction, the ray
+        starts at the box boundary and integrates back toward the observer
+        ('from the distant universe toward Earth',
+        sightline_tau_heal.f90:33-112).  Returns (start, k, hit, cap)."""
+        from .healpix import pix2vec_ring
+        pos = np.asarray(odev.pos[iobs], np.float64)
+        vx, vy, vz = pix2vec_ring(obs.nside, np.arange(obs.npix))
+        kout = np.stack([np.asarray(vx, np.float64),
+                         np.asarray(vy, np.float64),
+                         np.asarray(vz, np.float64)])
+        with np.errstate(divide='ignore', invalid='ignore'):
+            t_lo = (np.array([xmn, ymn, zmn])[:, None] - pos[:, None]) / kout
+            t_hi = (np.array([xmx, ymx, zmx])[:, None] - pos[:, None]) / kout
+        t_pos = np.where(np.isfinite(t_lo) & (t_lo > 0), t_lo, np.inf)
+        t_pos = np.minimum(t_pos,
+                           np.where(np.isfinite(t_hi) & (t_hi > 0),
+                                    t_hi, np.inf))
+        dist = t_pos.min(axis=0)
+        hit = np.isfinite(dist)
+        dist = np.where(hit, dist, 0.0)
+        eps = 1e-6 * (xmx - xmn)
+        start = pos[:, None] + (dist - eps)[None, :] * kout
+        return start, -kout, hit, dist
+
     def sightline(grid, odev: ObserverDevice, iobs: int = 0) -> Dict:
-        start, k, hit = ray_origins(odev, iobs)
+        if obs.inside:
+            start, k, hit, dist = ray_origins_inside(odev, iobs)
+            cap = jnp.asarray(dist, jnp.float32)
+        else:
+            start, k, hit = ray_origins(odev, iobs)
+            cap = None
         npix = start.shape[1]
         x = jnp.asarray(start[0], jnp.float32)
         y = jnp.asarray(start[1], jnp.float32)
@@ -161,16 +202,16 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
 
         # N_gas and tau_dust: one ray per pixel
         N_gas = integrate(grid, x, y, z, kx, ky, kz,
-                          jnp.zeros_like(x), mode=1)
+                          jnp.zeros_like(x), mode=1, cap=cap)
         tau_dust = integrate(grid, x, y, z, kx, ky, kz,
-                             jnp.zeros_like(x), mode=2)
+                             jnp.zeros_like(x), mode=2, cap=cap)
 
         # tau_gas(nu, pix): loop over frequency bins (jitted per batch)
         xf_axis = meta.xfreq_min + (np.arange(meta.nxfreq) + 0.5) \
             * meta.dxfreq
 
         f = jax.jit(lambda xf0: integrate(grid, x, y, z, kx, ky, kz,
-                                          xf0, mode=0))
+                                          xf0, mode=0, cap=cap))
         taus = []
         for ixf in range(meta.nxfreq):
             # lab-frame frequency -> comoving at the entry cell

@@ -42,6 +42,13 @@ def write_output(filename: str, res: RunResult, nproc: int = 1) -> str:
     _peel3D files when peeling was enabled (write_output_outside,
     write_output_rect.f90:24-46)."""
     out = _write_basic(filename, res, nproc)
+    if res.sightline is not None:
+        from ..instruments.sightline import write_sightline_tau
+        base, ext = os.path.splitext(filename)
+        for k, maps in enumerate(res.sightline):
+            suffix = '' if len(res.sightline) == 1 else f'_{k + 1:03d}'
+            write_sightline_tau(f'{base}{suffix}_tau{ext}', maps,
+                                res.cfg, res.meta, res.obs_meta)
     if res.peel is not None:
         base, ext = os.path.splitext(filename)
         nobs = res.obs_meta.nobs
@@ -193,6 +200,30 @@ def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
     bin_unit = meta.dwave if par.intensity_unit == 1 else meta.dxfreq
     sc = res.peel['scatt'][iobs]
     dr = res.peel['direc'][iobs]
+    bp_ = np.float32 if par.out_bitpix == -32 else np.float64
+
+    if getattr(obs, 'inside', False):
+        # interior observer: all-sky HEALPix RING maps (nxfreq, npix)
+        # (write_output_heal.f90 peel sections)
+        hk = {
+            'PIXTYPE': 'HEALPIX', 'ORDERING': 'RING',
+            'NSIDE': obs.nside, 'NPIX': obs.npix,
+            'Xfreq1': meta.xfreq_min, 'Xfreq2': meta.xfreq_max,
+            'Dxfreq': meta.dxfreq, 'I_unit': par.intensity_unit,
+            'nphotons': float(res.nphotons),
+        }
+        with h5py.File(filename, 'w') as f:
+            g = f.create_group('Scattered')
+            g.create_dataset('data',
+                             data=sc.reshape(meta.nxfreq,
+                                             obs.npix).astype(bp_))
+            _put_attrs(g, dict(hk, EXTNAME='Scattered'))
+            g = f.create_group('Direct')
+            g.create_dataset('data',
+                             data=dr.reshape(meta.nxfreq,
+                                             obs.npix).astype(bp_))
+            _put_attrs(g, dict(hk, EXTNAME='Direct'))
+        return filename
 
     lam0A = res.cfg.line.wavelength0 * 1e4
     wcs = {

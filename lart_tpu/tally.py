@@ -54,6 +54,9 @@ class RunResult:
     Pa: Optional[np.ndarray] = None        # (nbin,) scattering rate per atom
     Pnew: Optional[np.ndarray] = None      # (nbin,)
     r_JPa: Optional[np.ndarray] = None     # bin-center coordinate
+    # sight-line tau/column maps: list per observer of dicts
+    # {'tau_gas','N_gas','tau_dust'} (make_sightline_tau)
+    sightline: Optional[list] = None
 
     @property
     def line(self):
