@@ -283,6 +283,52 @@ def clump_find(grid, meta: GridMeta, x, y, z):
     return out
 
 
+def clump_sample_owner(cfg, meta: GridMeta, cmeta, grid, s, key):
+    """Opacity-weighted owner-clump draw from the clumps containing the
+    scatter point (sample_owner_clump, raytrace_clump.f90:644-665), used by
+    the overlap transport where the flight tracks no single clump."""
+    R = meta.xmax
+    cg_n, cg_dx, K = cmeta.cg_n, cmeta.cg_dx, cmeta.K
+    ci = jnp.clip(jnp.floor((s.x + R) / cg_dx).astype(jnp.int32),
+                  0, cg_n - 1)
+    cj = jnp.clip(jnp.floor((s.y + R) / cg_dx).astype(jnp.int32),
+                  0, cg_n - 1)
+    ck = jnp.clip(jnp.floor((s.z + R) / cg_dx).astype(jnp.int32),
+                  0, cg_n - 1)
+    cell = (ci * cg_n + cj) * cg_n + ck
+    cands, kaps = [], []
+    for q in range(K):
+        cand = jnp.take(grid.table.reshape(-1), cell * K + q, mode='clip')
+        qx = _leaf_gather(grid.x, cand, 0.0)
+        qy = _leaf_gather(grid.y, cand, 0.0)
+        qz = _leaf_gather(grid.z, cand, 0.0)
+        qr2 = _leaf_gather(grid.r2, cand, 0.0)
+        d2 = (s.x - qx) ** 2 + (s.y - qy) ** 2 + (s.z - qz) ** 2
+        contains = jnp.logical_and(cand >= 0, d2 < qr2)
+        u_q = (_leaf_gather(grid.vx, cand, 0.0) * s.kx
+               + _leaf_gather(grid.vy, cand, 0.0) * s.ky
+               + _leaf_gather(grid.vz, cand, 0.0) * s.kz) \
+            if not meta.static_medium else 0.0
+        kq = _leaf_gather(grid.rhokap, cand, 0.0) \
+            * line_profile(cfg, s.xfreq - u_q,
+                           jnp.float32(meta.voigt_a_ref),
+                           jnp.float32(meta.Dfreq_ref))
+        if meta.has_dust:
+            kq = kq + _leaf_gather(grid.rhokapD, cand, 0.0)
+        cands.append(cand)
+        kaps.append(jnp.where(contains, kq, 0.0))
+    cands = jnp.stack(cands)                 # (K, B)
+    kaps = jnp.stack(kaps)
+    cum = jnp.cumsum(kaps, axis=0)
+    tot = cum[-1]
+    xi = jax.random.uniform(key, s.x.shape) * tot
+    pick = jnp.argmax(cum >= xi[None], axis=0)
+    owner = jnp.take_along_axis(cands, pick[None], axis=0)[0]
+    # vacuum scatter cannot happen (tau target is only reached inside gas);
+    # guard anyway by falling back to the first candidate
+    return jnp.where(tot > 0, owner, cands[0])
+
+
 def amr_find_cell(grid, meta: GridMeta, x, y, z):
     """Descend from the root to the deepest enclosing cell
     (amr_find_enclosing_cell, octree_mod.f90:196-230)."""
@@ -962,7 +1008,7 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
 # ---------------------------------------------------------------------------
 
 def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
-                 peel_resonance=None, peel_dust=None):
+                 peel_resonance=None, peel_dust=None, cmeta=None):
     par, line = cfg.par, cfg.line
     lt = line.line_type
     h2 = h2_setup(cfg)
@@ -1208,6 +1254,12 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 odev=None):
         s, t = state, tallies
         at_sc = s.phase == AT_SCATTER
+        if meta.grid_type == 'clump' and par.clump_allow_overlap:
+            # overlap flight tracks no single clump: sample the owner
+            # opacity-weighted among the clumps containing the point
+            k_own, key = jax.random.split(key)
+            owner = clump_sample_owner(cfg, meta, cmeta, grid, s, k_own)
+            s = s._replace(ic=jnp.where(at_sc, owner, s.ic))
         if meta.grid_type == 'clump' and not meta.static_medium:
             # shift into the owner clump's frame for the redistribution
             # (scatter_resonance_clump wrappers)
@@ -2022,7 +2074,8 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
         peel_zero = lambda: None
 
     fly = make_fly(cfg, meta, cmeta=cmeta)
-    scatter = make_scatter(cfg, meta, peel_resonance=p_res, peel_dust=p_dust)
+    scatter = make_scatter(cfg, meta, peel_resonance=p_res, peel_dust=p_dust,
+                           cmeta=cmeta)
     refill = make_refill(cfg, meta, peel_direct=p_direct)
     n_cycles = cfg.par.chunk_cycles
     refill_every = max(1, cfg.par.refill_every)
@@ -2066,13 +2119,21 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
     candidate gathers per cell) and analytic in-sphere segments.  Lane state
     reuses BatchState with ic = current clump id (-1 = vacuum).
 
-    v1 scope: non-overlapping clumps (clump_allow_overlap transport lands
-    with the event-walk kernel)."""
+    Overlap mode (clump_allow_overlap): the reference walks a sorted
+    entry/exit event list with an active clump set
+    (raytrace_to_tau_clump_overlap, raytrace_clump.f90:668-788 +
+    collect_ray_events_overlap, clump_mod.f90:1639-1760).  Here the same
+    integral is computed WITHOUT event lists: within each CSR acceleration
+    cell the optical depth is the exact sum of per-candidate chord overlaps
+    (tau = sum_q kappa_q * |ray-sphere_q intersection clipped to the cell
+    segment|), and the scatter point where the cumulative tau reaches its
+    target is found by bisection of that piecewise-linear function -- a
+    fixed-iteration, branch-free formulation that keeps all lanes in
+    lockstep.  The owner clump at a scatter event is sampled
+    opacity-weighted in the scatter kernel (sample_owner_clump,
+    raytrace_clump.f90:644-665)."""
     par = cfg.par
-    if par.clump_allow_overlap:
-        raise NotImplementedError(
-            'overlapping-clump transport (event-walk raytrace) is not yet '
-            'implemented; set clump_allow_overlap=False')
+    overlap = par.clump_allow_overlap
     R = meta.xmax
     cg_n, cg_dx, K = cmeta.cg_n, cmeta.cg_dx, cmeta.K
     EPS = jnp.float32(1e-4 * float(cmeta.cg_dx) / max(cmeta.cg_n, 1)
@@ -2147,6 +2208,91 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
         ic_after = jnp.where(inside, -1, jnp.where(entering, next_ic, -1))
         return t_seg, ic_after
 
+    def overlap_segment(grid, s):
+        """Overlap mode: exact optical depth across the current CSR cell as
+        the sum of per-candidate chord overlaps.  Returns
+        (t_end, dtau, tq0, tq1, kq): segment end distance, its total tau,
+        and the (K, B) per-candidate clipped chord knots + opacities for
+        the scatter-point bisection."""
+        ci = jnp.clip(jnp.floor((s.x + R) / cg_dx).astype(jnp.int32),
+                      0, cg_n - 1)
+        cj = jnp.clip(jnp.floor((s.y + R) / cg_dx).astype(jnp.int32),
+                      0, cg_n - 1)
+        ck = jnp.clip(jnp.floor((s.z + R) / cg_dx).astype(jnp.int32),
+                      0, cg_n - 1)
+        cell = (ci * cg_n + cj) * cg_n + ck
+
+        def fd(pos, k, idx):
+            up = k > 0.0
+            face = -R + jnp.where(up, idx + 1, idx).astype(jnp.float32) \
+                * cg_dx
+            t = (face - pos) / jnp.where(jnp.abs(k) < 1e-12,
+                                         jnp.float32(1.0), k)
+            return jnp.where(jnp.abs(k) < 1e-12, BIG, jnp.maximum(t, 0.0))
+        t_end = jnp.minimum(jnp.minimum(fd(s.x, s.kx, ci),
+                                        fd(s.y, s.ky, cj)),
+                            fd(s.z, s.kz, ck)) + EPS
+
+        tq0l, tq1l, kql = [], [], []
+        dtau = jnp.zeros_like(s.x)
+        for q in range(K):
+            cand = jnp.take(grid.table.reshape(-1), cell * K + q,
+                            mode='clip')
+            ok = cand >= 0
+            qx = _leaf_gather(grid.x, cand, 0.0)
+            qy = _leaf_gather(grid.y, cand, 0.0)
+            qz = _leaf_gather(grid.z, cand, 0.0)
+            qr2 = _leaf_gather(grid.r2, cand, 0.0)
+            ex, ey, ez = s.x - qx, s.y - qy, s.z - qz
+            eb = ex * s.kx + ey * s.ky + ez * s.kz
+            ec = ex * ex + ey * ey + ez * ez - qr2
+            edet = eb * eb - ec
+            sq = jnp.sqrt(jnp.maximum(edet, 0.0))
+            t0 = jnp.clip(-eb - sq, 0.0, t_end)
+            t1 = jnp.clip(-eb + sq, 0.0, t_end)
+            # clump-frame opacity at the GLOBAL frequency (sum_kap_active,
+            # raytrace_clump.f90:621-637)
+            u_q = (_leaf_gather(grid.vx, cand, 0.0) * s.kx
+                   + _leaf_gather(grid.vy, cand, 0.0) * s.ky
+                   + _leaf_gather(grid.vz, cand, 0.0) * s.kz) \
+                if not meta.static_medium else 0.0
+            x_q = s.xfreq - u_q
+            kq = _leaf_gather(grid.rhokap, cand, 0.0) \
+                * line_profile(cfg, x_q, jnp.float32(meta.voigt_a_ref),
+                               jnp.float32(meta.Dfreq_ref))
+            if meta.has_dust:
+                kq = kq + _leaf_gather(grid.rhokapD, cand, 0.0)
+            kq = jnp.where(jnp.logical_and(ok, edet > 0.0), kq, 0.0)
+            dtau = dtau + kq * (t1 - t0)
+            tq0l.append(t0)
+            tq1l.append(t1)
+            kql.append(kq)
+        return (t_end, dtau, jnp.stack(tq0l), jnp.stack(tq1l),
+                jnp.stack(kql))
+
+    def overlap_scatter_dist(tau_need, t_end, tq0, tq1, kq):
+        """Exact inversion of F(t) = sum_q kq*(min(t,tq1)-tq0)^+ = tau_need
+        on [0, t_end]: F is piecewise linear with slope changes only at the
+        2K chord endpoints, so sort the breakpoints, evaluate F there, and
+        interpolate within the crossing segment (closed form, loop-free)."""
+        tb = jnp.sort(jnp.concatenate([tq0, tq1], axis=0), axis=0)  # (2K,B)
+        F = jnp.sum(kq[None] * jnp.clip(
+            jnp.minimum(tb[:, None], tq1[None]) - tq0[None], 0.0, None),
+            axis=1)                                                 # (2K,B)
+        ge = F >= tau_need[None]
+        j = jnp.argmax(ge, axis=0)
+        jm = jnp.maximum(j - 1, 0)
+        t_lo = jnp.take_along_axis(tb, jm[None], 0)[0]
+        t_hi = jnp.take_along_axis(tb, j[None], 0)[0]
+        F_lo = jnp.take_along_axis(F, jm[None], 0)[0]
+        F_hi = jnp.take_along_axis(F, j[None], 0)[0]
+        frac = jnp.clip((tau_need - F_lo) / jnp.maximum(F_hi - F_lo, TINY),
+                        0.0, 1.0)
+        d = t_lo + frac * jnp.maximum(t_hi - t_lo, 0.0)
+        # crossing before the first breakpoint: F rises linearly from 0
+        d0 = tb[0] * jnp.clip(tau_need / jnp.maximum(F[0], TINY), 0.0, 1.0)
+        return jnp.clip(jnp.where(j == 0, d0, d), 0.0, t_end)
+
     def fly(state: BatchState, grid, tallies: Tallies, max_steps: int):
 
         def cond(carry):
@@ -2166,26 +2312,35 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
             inside = s.ic >= 0
 
-            # clump-frame frequency for opacity (voigt_clump + ulos shift)
-            u_cl = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
-                                     s.kx, s.ky, s.kz)
-            x_eval = s.xfreq - u_cl
-            a_cl = jnp.float32(meta.voigt_a_ref)
-            kap = jnp.where(inside,
-                            cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
-                            * line_profile(cfg, x_eval, a_cl,
-                                           jnp.float32(meta.Dfreq_ref)),
-                            0.0)
-            if meta.has_dust:
-                kap = kap + cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
-
-            t_seg, ic_after = seg_and_next(grid, s)
-
             tgt = jnp.where(is_ffs, jnp.float32(FFS_TAU_CAP), s.tau_target)
-            dtau = t_seg * kap
-            hit = s.tau_run + dtau >= tgt
-            d_hit = (tgt - s.tau_run) / jnp.maximum(kap, TINY)
-            d_adv = jnp.where(hit, d_hit, t_seg + EPS)
+            if overlap:
+                # chord-overlap integral across the CSR cell; ic stays -1
+                # during flight (owner sampled at the scatter event)
+                t_end, dtau, tq0, tq1, kq = overlap_segment(grid, s)
+                hit = s.tau_run + dtau >= tgt
+                d_hit = overlap_scatter_dist(tgt - s.tau_run, t_end,
+                                             tq0, tq1, kq)
+                d_adv = jnp.where(hit, d_hit, t_end)
+                ic_after = jnp.full_like(s.ic, -1)
+            else:
+                # clump-frame frequency for opacity (voigt_clump + ulos)
+                u_cl = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                         s.kx, s.ky, s.kz)
+                x_eval = s.xfreq - u_cl
+                a_cl = jnp.float32(meta.voigt_a_ref)
+                kap = jnp.where(inside,
+                                cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
+                                * line_profile(cfg, x_eval, a_cl,
+                                               jnp.float32(meta.Dfreq_ref)),
+                                0.0)
+                if meta.has_dust:
+                    kap = kap + cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
+
+                t_seg, ic_after = seg_and_next(grid, s)
+                dtau = t_seg * kap
+                hit = s.tau_run + dtau >= tgt
+                d_hit = (tgt - s.tau_run) / jnp.maximum(kap, TINY)
+                d_adv = jnp.where(hit, d_hit, t_seg + EPS)
 
             xn = s.x + d_adv * s.kx
             yn = s.y + d_adv * s.ky
