@@ -132,7 +132,15 @@ class Params:
     density_file: str = ''
     temperature_file: str = ''
     velocity_file: str = ''
+    dens_file: str = ''
+    temp_file: str = ''
+    velo_file: str = ''
     use_cie_condition: bool = False
+
+    # --- exoplanet atmosphere illumination (stellar_illumination.f90)
+    stellar_limb_darkening: int = 2
+    distance_star_to_planet: float = 0.0
+    stellar_radius: float = 0.0
 
     # --- frequency grid
     xfreq_min: float = NAN
@@ -471,6 +479,17 @@ def resolve(par: Params) -> ResolvedConfig:
     dx, xmin, i0 = axis(par.xmax, par.nx, xsym)
     dy, ymin, j0 = axis(par.ymax, par.ny, ysym)
     dz, zmin, k0 = axis(par.zmax, par.nz, zsym)
+
+    if geom == 'plane_atmosphere':
+        # exoplanet 1-D plane-parallel atmosphere: z from zmin (or 0) to
+        # zmax; photons exiting the bottom are destroyed by the molecular
+        # layer -> Jabs2 (grid_mod_car.f90:151-167,1181-1185)
+        zmin = par.zmin if _isfinite(par.zmin) else 0.0
+        dz = (par.zmax - zmin) / par.nz
+        k0 = 0
+    if geom == 'spherical_atmosphere' and par.rmax <= 0.0:
+        par = dataclasses.replace(
+            par, rmax=min(par.xmax, par.ymax, par.zmax))
 
     bc_x = 'periodic' if par.xy_periodic else ('reflect' if xsym else 'escape')
     bc_y = 'periodic' if par.xy_periodic else ('reflect' if ysym else 'escape')

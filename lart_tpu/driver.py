@@ -92,6 +92,12 @@ def run(par: Params, *, seed: Optional[int] = None,
     }
     if par.save_Jmu:
         acc['Jmu'] = np.zeros(meta.nxfreq * par.nmu, np.float64)
+    if meta.atmosphere:
+        acc['Jabs2'] = np.zeros(meta.nxfreq, np.float64)
+    if par.source_geometry.strip().lower() in ('stellar_illumination',
+                                               'point_illumination'):
+        acc['flux_factor'] = 0.0
+        acc['nrejected'] = 0.0
     if cfg.line.line_type == 8:
         acc['Jout_Ha'] = np.zeros(meta.nxfreq, np.float64)
         acc['Jabs_Ha'] = np.zeros(meta.nxfreq, np.float64)
@@ -131,6 +137,11 @@ def run(par: Params, *, seed: Optional[int] = None,
             + np.asarray(tl.W_H2pump, np.float64)
         if par.save_Jmu:
             acc['Jmu'] += np.asarray(tl.Jmu, np.float64)
+        if 'Jabs2' in acc:
+            acc['Jabs2'] += np.asarray(tl.Jabs2, np.float64)
+        if 'flux_factor' in acc:
+            acc['flux_factor'] += float(tl.flux_factor)
+            acc['nrejected'] += float(tl.nrejected)
         if cfg.line.line_type == 8:
             acc['Jout_Ha'] += np.asarray(tl.Jout_Ha, np.float64)
             acc['Jabs_Ha'] += np.asarray(tl.Jabs_Ha, np.float64)

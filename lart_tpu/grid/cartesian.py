@@ -39,6 +39,9 @@ class GridDevice(NamedTuple):
     vfz: Optional[jnp.ndarray]
     Dfreq: Optional[jnp.ndarray]        # local Doppler width [Hz]
     voigt_a: Optional[jnp.ndarray]
+    # spherical_atmosphere molecular-zone mask (r <= rmin destroys Lya ->
+    # Jabs2; grid_mod_car.f90:770-778, raytrace_car.f90:3187)
+    mask: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +95,9 @@ class GridMeta:
     nbin_JPa: int = 0
     dr_JPa: float = 0.0
     roff_JPa: float = 0.0
+    # exoplanet atmosphere mode: 0 none, 1 plane (bottom z absorbs -> Jabs2),
+    # 2 spherical (masked molecular core absorbs -> Jabs2)
+    atmosphere: int = 0
 
     @property
     def xrange(self): return self.xmax - self.xmin
@@ -119,11 +125,34 @@ def build_cartesian(cfg: ResolvedConfig):
     zz = _cell_centers(nz, zmin, dz)
     X, Y, Z = np.meshgrid(xx, yy, zz, indexing='ij')
 
+    geom0 = par.geometry.strip().lower()
+    atm = {'plane_atmosphere': 1, 'spherical_atmosphere': 2}.get(geom0, 0)
+    dens_file = (par.dens_file or par.density_file).strip()
+    temp_file = (par.temp_file or par.temperature_file).strip()
+    velo_file = (par.velo_file or par.velocity_file).strip()
+    rr3_flat = np.sqrt(X * X + Y * Y + Z * Z)
+
+    def profile_1d(path):
+        """1-D text profile (axis, value) interpolated onto the grid:
+        vs z for plane atmospheres, vs r otherwise (read_plane_data /
+        read_spherical_data, read_text_data.f90:7-141)."""
+        dat = np.loadtxt(path, ndmin=2)
+        ax, val = dat[:, 0], dat[:, 1]
+        coord = Z if atm == 1 else rr3_flat
+        return np.interp(coord, ax, val, left=val[0], right=0.0)
+
     # --- (1) temperature and Doppler widths
     T = np.full((nx, ny, nz), par.temperature, np.float64)
     uniform_T = True
-    vtherm = np.vectorize(lambda t: vtherm_total(par, line, t))(T) \
-        if not uniform_T else np.full_like(T, cfg.vtherm)
+    if temp_file and temp_file.rsplit('.', 1)[-1] in ('txt', 'dat'):
+        T = profile_1d(temp_file)
+        T[T <= 0.0] = par.temperature
+        uniform_T = False
+    if not uniform_T:
+        bt = par.bturb if par.bturb > 0 else 0.0
+        vtherm = np.sqrt((line.vtherm1 ** 2) * T + bt * bt)
+    else:
+        vtherm = np.full_like(T, cfg.vtherm)
     Dfreq = vtherm / (line.wavelength0 * UM2KM)
     voigt_a = (line.damping / FOURPI) / Dfreq
     Dfreq_ref = cfg.Dfreq_ref
@@ -131,6 +160,11 @@ def build_cartesian(cfg: ResolvedConfig):
     # --- (2) density (relative units) + geometry masks
     rho = np.ones((nx, ny, nz), np.float64)
     geom = par.geometry.strip().lower()
+    mask_arr = None
+    if dens_file and dens_file.rsplit('.', 1)[-1] in ('txt', 'dat'):
+        rho = profile_1d(dens_file)
+    if atm == 2 and par.rmin > 0.0:
+        mask_arr = (rr3_flat <= par.rmin)
     rr3 = np.sqrt(X * X + Y * Y + Z * Z)
     rr2 = np.sqrt(X * X + Y * Y)
     if par.rmax > 0.0:
@@ -271,7 +305,19 @@ def build_cartesian(cfg: ResolvedConfig):
     vt = vtherm
     vfx = vfy = vfz = None
     vtype = par.velocity_type.strip().lower()
-    if vtype:
+    if velo_file and velo_file.rsplit('.', 1)[-1] in ('txt', 'dat'):
+        prof = profile_1d(velo_file)
+        if atm == 1:
+            vfx = np.zeros_like(rho)
+            vfy = np.zeros_like(rho)
+            vfz = prof / vt
+        else:
+            with np.errstate(invalid='ignore', divide='ignore'):
+                fac = prof / vt / np.maximum(rr3_flat, 1e-300)
+            vfx = fac * X
+            vfy = fac * Y
+            vfz = fac * Z
+    elif vtype:
         vfx = np.zeros_like(rho)
         vfy = np.zeros_like(rho)
         vfz = np.zeros_like(rho)
@@ -415,14 +461,16 @@ def build_cartesian(cfg: ResolvedConfig):
         N_gashomo=float(N_gashomo_in if N_gashomo_in > 0 else N_gashomo),
         atau3=float(atau3),
         geometry_JPa=geometry_JPa, nbin_JPa=nbin_JPa,
-        dr_JPa=float(dr_JPa), roff_JPa=float(roff_JPa))
+        dr_JPa=float(dr_JPa), roff_JPa=float(roff_JPa),
+        atmosphere=atm)
 
     f32 = lambda x: jnp.asarray(x, jnp.float32) if x is not None else None
     dev = GridDevice(
         rhokap=f32(rhokap), rhokapD=f32(rhokapD),
         vfx=f32(vfx), vfy=f32(vfy), vfz=f32(vfz),
         Dfreq=None if uniform_T else f32(Dfreq),
-        voigt_a=None if uniform_T else f32(voigt_a))
+        voigt_a=None if uniform_T else f32(voigt_a),
+        mask=jnp.asarray(mask_arr) if mask_arr is not None else None)
     return meta, dev
 
 

@@ -61,8 +61,8 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
     xmn, ymn, zmn = meta.xmin, meta.ymin, meta.zmin
     nxim, nyim, nxfreq = obs.nxim, obs.nyim, meta.nxfreq
 
-    from ..transport.engine import (amr_descend_from_face, cell_Dfreq,
-                                    cell_rhokap, cell_rhokapD,
+    from ..transport.engine import (_gather, amr_descend_from_face,
+                                    cell_Dfreq, cell_rhokap, cell_rhokapD,
                                     cell_velocity_dot, cell_voigt_a,
                                     h2_setup, line_profile)
     h2 = h2_setup(cfg)
@@ -213,6 +213,15 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
                 esc = jnp.logical_or(jnp.logical_or(
                     jnp.logical_and(cx, ex), jnp.logical_and(cy, ey)),
                     jnp.logical_and(cz, ez))
+                if meta.atmosphere == 2 and grid.mask is not None:
+                    # sightline through the molecular core is opaque
+                    # (raytrace_to_edge_car_atmosphere,
+                    # raytrace_car.f90:3730-3734)
+                    hitm = jnp.logical_and(
+                        jnp.logical_and(live, ~esc),
+                        _gather(grid.mask, meta, icn, jcn, kcn))
+                    tau_n = jnp.where(hitm, jnp.float32(2.0 * TAU_HUGE),
+                                      tau_n)
 
             if not meta.static_medium or not meta.uniform_temperature:
                 u1 = cell_velocity_dot(grid, meta, ic, jc, kc, kx, ky, kz)

@@ -97,6 +97,8 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
             g.create_dataset('Jabs', data=np.asarray(Jabs, bp))
         if par.save_Jin and Jin is not None:
             g.create_dataset('Jin', data=np.asarray(Jin, bp))
+        if res.Jabs2 is not None:
+            g.create_dataset('Jabs2', data=np.asarray(res.Jabs2, bp))
 
         _put_attrs(g, {
             'ExeTime': exetime_min,
@@ -133,6 +135,9 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
             'calc_P': par.calcP, 'calc_Pnew': par.calcPnew,
             'calc_J': par.calcJ,
         })
+        if res.flux_factor:
+            _put_attrs(g, {'flux_factor': res.flux_factor,
+                           'nrejected': res.nrejected})
         if par.h2_model.strip().lower() not in ('', 'none'):
             _put_attrs(g, {
                 'H2MODEL': par.h2_model, 'H2FH2': par.f_H2,

@@ -300,6 +300,149 @@ def build_sources(cfg, meta, host_data=None):
 # Device-side samplers
 # ---------------------------------------------------------------------------
 
+# limb darkening polynomial I(mu)/I(0) = c0 + c1 mu + c2 mu^2 (the Sun at
+# 200 nm; stellar_illumination.f90:48-55)
+LIMB_COEFF = (0.55, 0.12, 0.33)
+
+
+def _limb_wgt(limb_model: int, cos_ang):
+    """Photon weight for the chosen limb-darkening law
+    (random_stellar_illumination1, stellar_illumination.f90:436-450)."""
+    if limb_model <= 0:
+        return jnp.ones_like(cos_ang)
+    if limb_model == 1:          # Lambertian
+        return 2.0 * cos_ang
+    if limb_model == 2:          # Eddington
+        return cos_ang * (1.5 * cos_ang + 1.0)
+    c0, c1, c2 = LIMB_COEFF
+    norm = c0 / 2.0 + c1 / 3.0 + c2 / 4.0
+    return (c0 + c1 * cos_ang + c2 * cos_ang * cos_ang) * cos_ang / norm / 2.0
+
+
+def sample_stellar_illumination(key, par, rmax, shape, n_rounds: int = 8):
+    """Finite star of radius R* at distance D illuminating a planet
+    atmosphere of radius rmax (random_stellar_illumination1,
+    reference src/stellar_illumination.f90:313-470), vectorized as masked
+    rejection rounds.  Returns (x, y, z, kx, ky, kz, wgt, flux_factor,
+    nrejected)."""
+    Rs = par.stellar_radius
+    D = par.distance_star_to_planet
+    cosvt_max = (Rs - rmax) / D
+    cost_max = math.sqrt(max(1.0 - (rmax / (D - Rs)) ** 2, 0.0))
+    flux_fac1 = (1.0 - cosvt_max) * (1.0 - cost_max) / 2.0
+
+    acc = jnp.zeros(shape, bool)
+    nrej = jnp.zeros(shape, jnp.float32)
+    outs = [jnp.zeros(shape, jnp.float32) for _ in range(7)]
+    x_, y_, z_, kx_, ky_, kz_, ca_ = outs
+    for rnd in range(n_rounds):
+        k = jax.random.fold_in(key, rnd)
+        xi = jax.random.uniform(k, (4,) + shape, jnp.float32)
+        cosvt = (1.0 - cosvt_max) * xi[0] + cosvt_max
+        sinvt = jnp.sqrt(jnp.maximum(1.0 - cosvt * cosvt, 0.0))
+        vphi = 2.0 * math.pi * xi[1]
+        x0 = sinvt * jnp.cos(vphi)
+        y0 = sinvt * jnp.sin(vphi)
+        z0 = cosvt
+        x = Rs * x0
+        y = Rs * y0
+        z = Rs * z0 - D
+        rr = jnp.sqrt(x * x + y * y + z * z)
+        kx0, ky0, kz0 = -x / rr, -y / rr, -z / rr
+        cost = (1.0 - cost_max) * xi[2] + cost_max
+        sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+        phi = 2.0 * math.pi * xi[3]
+        cosp, sinp = jnp.cos(phi), jnp.sin(phi)
+        kr = jnp.sqrt(jnp.maximum(kx0 * kx0 + ky0 * ky0, 1e-24))
+        kx = cost * kx0 + sint * (kz0 * kx0 * cosp - ky0 * sinp) / kr
+        ky = cost * ky0 + sint * (kz0 * ky0 * cosp + kx0 * sinp) / kr
+        kz = cost * kz0 - sint * cosp * kr
+        r_dot_k = x * kx + y * ky + z * kz
+        det = r_dot_k * r_dot_k - (rr * rr - rmax * rmax)
+        cos_ang = x0 * kx + y0 * ky + z0 * kz
+        ok = jnp.logical_and(cos_ang >= 0.0, det >= 0.0)
+        dist = -r_dot_k - jnp.sqrt(jnp.maximum(det, 0.0))
+        take = jnp.logical_and(~acc, ok)
+        x_ = jnp.where(take, x + kx * dist, x_)
+        y_ = jnp.where(take, y + ky * dist, y_)
+        z_ = jnp.where(take, z + kz * dist, z_)
+        kx_ = jnp.where(take, kx, kx_)
+        ky_ = jnp.where(take, ky, ky_)
+        kz_ = jnp.where(take, kz, kz_)
+        ca_ = jnp.where(take, cos_ang, ca_)
+        nrej = nrej + jnp.where(jnp.logical_and(~acc, ~ok), 1.0, 0.0)
+        acc = jnp.logical_or(acc, ok)
+    # stragglers: aim at the planet center from the sub-planet point
+    strag = ~acc
+    x_ = jnp.where(strag, 0.0, x_)
+    y_ = jnp.where(strag, 0.0, y_)
+    z_ = jnp.where(strag, -rmax, z_)
+    kx_ = jnp.where(strag, 0.0, kx_)
+    ky_ = jnp.where(strag, 0.0, ky_)
+    kz_ = jnp.where(strag, 1.0, kz_)
+    ca_ = jnp.where(strag, 1.0, ca_)
+    wgt = _limb_wgt(par.stellar_limb_darkening, ca_)
+    flux_factor = flux_fac1 * wgt
+    return x_, y_, z_, kx_, ky_, kz_, wgt, flux_factor, nrej
+
+
+def sample_point_illumination(key, par, meta, shape, n_rounds: int = 8):
+    """External point source on the z axis illuminating the box
+    (random_point_illumination, reference src/point_illumination.f90:15-120):
+    directions in the cone subtended by the near wall, rejected if the ray
+    misses the wall rectangle.  Returns (x, y, z, kx, ky, kz, wgt,
+    flux_factor, nrejected)."""
+    dist_wall = abs(par.zs_point) - meta.zmax
+    alpha = meta.xmax / dist_wall
+    beta = meta.ymax / dist_wall
+    flux_fac1 = math.atan(alpha * beta
+                          / math.sqrt(1.0 + alpha ** 2 + beta ** 2)) / math.pi
+    costm = dist_wall / math.sqrt(dist_wall ** 2 + meta.xmax ** 2
+                                  + meta.ymax ** 2)
+    below = par.zs_point < 0.0
+
+    acc = jnp.zeros(shape, bool)
+    nrej = jnp.zeros(shape, jnp.float32)
+    x_ = jnp.zeros(shape, jnp.float32)
+    y_ = jnp.zeros(shape, jnp.float32)
+    kx_ = jnp.zeros(shape, jnp.float32)
+    ky_ = jnp.zeros(shape, jnp.float32)
+    cz_ = jnp.ones(shape, jnp.float32)
+    for rnd in range(n_rounds):
+        k = jax.random.fold_in(key, rnd)
+        xi = jax.random.uniform(k, (2,) + shape, jnp.float32)
+        cost = xi[0] * (1.0 - costm) + costm
+        sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+        phi = 2.0 * math.pi * xi[1]
+        kx = sint * jnp.cos(phi)
+        ky = sint * jnp.sin(phi)
+        dist = dist_wall / cost
+        x = dist * kx
+        y = dist * ky
+        ok = jnp.logical_and(
+            jnp.logical_and(x >= meta.xmin, x <= meta.xmax),
+            jnp.logical_and(y >= meta.ymin, y <= meta.ymax))
+        take = jnp.logical_and(~acc, ok)
+        x_ = jnp.where(take, x, x_)
+        y_ = jnp.where(take, y, y_)
+        kx_ = jnp.where(take, kx, kx_)
+        ky_ = jnp.where(take, ky, ky_)
+        cz_ = jnp.where(take, cost, cz_)
+        nrej = nrej + jnp.where(jnp.logical_and(~acc, ~ok), 1.0, 0.0)
+        acc = jnp.logical_or(acc, ok)
+    # stragglers: straight down the axis
+    strag = ~acc
+    x_ = jnp.where(strag, 0.0, x_)
+    y_ = jnp.where(strag, 0.0, y_)
+    kx_ = jnp.where(strag, 0.0, kx_)
+    ky_ = jnp.where(strag, 0.0, ky_)
+    cz_ = jnp.where(strag, 1.0, cz_)
+    z = jnp.full(shape, meta.zmin if below else meta.zmax, jnp.float32)
+    kz = cz_ if below else -cz_
+    wgt = jnp.ones(shape, jnp.float32)
+    return x_, y_, z, kx_, ky_, kz, wgt, flux_fac1 * wgt, nrej
+
+
 def sample_radius_loglog(key, p_tab, r_tab, shape):
     """Radius draw by log-log interpolation of inverse-CDF knots (the table
     equivalent of rand_r1exp/rand_r2exp/rand_sersic)."""

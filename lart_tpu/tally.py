@@ -54,6 +54,8 @@ class RunResult:
     Pa: Optional[np.ndarray] = None        # (nbin,) scattering rate per atom
     Pnew: Optional[np.ndarray] = None      # (nbin,)
     r_JPa: Optional[np.ndarray] = None     # bin-center coordinate
+    Jabs2: object = None                   # exoplanet molecular-zone losses
+    flux_factor: float = 0.0               # transit flux factor
     # sight-line tau/column maps: list per observer of dicts
     # {'tau_gas','N_gas','tau_dust'} (make_sightline_tau)
     sightline: Optional[list] = None
@@ -139,6 +141,14 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
     Jabs = raw.get('Jabs')
     Jabs = Jabs / denom if (Jabs is not None and par.DGR > 0.0
                             and par.save_Jabs) else None
+    Jabs2 = raw.get('Jabs2')
+    Jabs2 = Jabs2 / denom if Jabs2 is not None else None
+    flux_factor = 0.0
+    if 'flux_factor' in raw:
+        # transit flux factor = sum(flux_factor)/(nphotons + nrejected)
+        # (output_sum_rect.f90:17-18)
+        flux_factor = raw['flux_factor'] / (nphotons
+                                            + raw.get('nrejected', 0.0))
 
     if (par.spectral_type.strip() in ('continuum', 'continuum+gaussian')
             and par.continuum_normalize and Jin is not None):
@@ -210,6 +220,8 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
         nscatt_dust=raw['nscatt_dust'] / nphotons,
         nscatt_tot=(raw['nscatt_gas'] + raw['nscatt_dust']) / nphotons,
         exetime_s=exetime_s, peel=peel, obs_meta=obs_meta, Jmu=Jmu,
+        Jabs2=Jabs2, flux_factor=flux_factor,
+        nrejected=raw.get('nrejected', 0.0),
         J1=J1, Pa=Pa, Pnew=Pnew, r_JPa=r_JPa,
         Jout_Ha=(raw['Jout_Ha'] / denom if 'Jout_Ha' in raw else None),
         Jabs_Ha=(raw['Jabs_Ha'] / denom if 'Jabs_Ha' in raw else None),

@@ -110,6 +110,11 @@ class Tallies(NamedTuple):
     W_abs1: jnp.ndarray = None
     W_esc2: jnp.ndarray = None
     W_abs2: jnp.ndarray = None
+    flux_factor: object = None  # () illumination flux factor accumulator
+    nrejected: object = None    # () rejected draws in illumination samplers
+    Jabs2: object = None        # (nxfreq,) absorbed by the molecular zone
+                                # of an exoplanet atmosphere (Jabs2,
+                                # grid_mod_car.f90:1181-1185)
     Jmu: object = None          # (nxfreq*nmu,) f32 or None (save_Jmu)
     J1: object = None           # (nxfreq*nbin,) mean intensity J(x) (calcJ)
     Pa: object = None           # (nbin,) scattering rate per atom (calcP)
@@ -133,9 +138,13 @@ def init_state(batch: int) -> BatchState:
 
 def zero_tallies(nxfreq: int, peel=None, nmu: int = 0,
                  nbin_JPa: int = 0, calcJ=False, calcP=False,
-                 calcPnew=False, lyb=False) -> Tallies:
+                 calcPnew=False, lyb=False, atmosphere=False,
+                 illumination=False) -> Tallies:
     z = jnp.zeros((nxfreq,), jnp.float32)
     return Tallies(Jin=z, Jout=z, Jabs=z,
+                   Jabs2=z if atmosphere else None,
+                   flux_factor=jnp.float32(0.0) if illumination else None,
+                   nrejected=jnp.float32(0.0) if illumination else None,
                    nscatt_gas=jnp.float32(0.0), nscatt_dust=jnp.float32(0.0),
                    W_H2abs=jnp.float32(0.0), W_H2scat=jnp.float32(0.0),
                    W_H2pump=jnp.zeros((2,), jnp.float32),
@@ -514,7 +523,8 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
 
         def body(carry):
             s, rec, n = carry
-            rec, (J1_c, Pn_c), (esc_b2_r, esc_wall_r) = rec
+            rec, (J1_c, Pn_c), (esc_b2_r, esc_wall_r), ab2 = rec
+            ab2_ix_r, ab2_w_r = ab2
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
                  esc_mu_r, ffs_mu_r) = rec
@@ -598,6 +608,23 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                 jnp.logical_and(cx, esc_x), jnp.logical_and(cy, esc_y)),
                 jnp.logical_and(cz, esc_z))
 
+            # --- exoplanet atmosphere destruction -> Jabs2
+            # plane: photons exiting the BOTTOM z face are destroyed
+            # (raytrace_to_tau_car_zonly_atmosphere, raytrace_car.f90:
+            # 3093-3110); spherical: entering a masked molecular-zone cell
+            # destroys the photon (raytrace_car.f90:3187, 3316-3326)
+            if meta.atmosphere == 1:
+                bottom = jnp.logical_and(jnp.logical_and(cz, esc_z),
+                                         kc2 < 0)
+            else:
+                bottom = jnp.zeros_like(escaped)
+            if meta.atmosphere == 2 and grid.mask is not None:
+                hitmask = jnp.logical_and(
+                    jnp.logical_and(crossed, ~escaped),
+                    _gather(grid.mask, meta, ic_new, jc_new, kc_new))
+            else:
+                hitmask = jnp.zeros_like(escaped)
+
             # comoving frequency update on cell change
             # x' = (x + u1) * D1/D2 - u2      (raytrace_car.f90:1586-1589)
             # band 2 carries a LAB-frame frequency: no comoving shifts
@@ -620,6 +647,13 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
             esc_fly = jnp.logical_and(escaped, s.phase == FLYING)
             esc_ffs = jnp.logical_and(escaped, is_ffs)
             ffs_done = jnp.logical_or(esc_ffs, jnp.logical_and(hit, is_ffs))
+            if meta.atmosphere:
+                mask_fly = jnp.logical_and(hitmask, s.phase == FLYING)
+                mask_ffs = jnp.logical_and(hitmask, is_ffs)
+                # an FFS birth ray ending in the molecular zone has zero
+                # escaped fraction (tau -> inf; raytrace_car.f90:3730-3734)
+                tau_n = jnp.where(mask_ffs, jnp.float32(FFS_TAU_CAP), tau_n)
+                ffs_done = jnp.logical_or(ffs_done, mask_ffs)
 
             u_esc = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                       s.kx, s.ky, s.kz)
@@ -631,6 +665,16 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                            / meta.dxfreq).astype(jnp.int32)
             in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
 
+            if meta.atmosphere:
+                # route Jabs2 destruction away from Jout
+                dest2 = jnp.logical_or(jnp.logical_and(esc_fly, bottom),
+                                       mask_fly)
+                esc_fly = jnp.logical_and(esc_fly, ~bottom)
+                rec_a = jnp.logical_and(dest2, in_rng)
+                ab2_ix_r = jnp.where(rec_a,
+                                     jnp.clip(ix, 0, meta.nxfreq - 1),
+                                     ab2_ix_r)
+                ab2_w_r = jnp.where(rec_a, s.wgt, ab2_w_r)
             rec_e = jnp.logical_and(esc_fly, in_rng)
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)
@@ -664,8 +708,14 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
             # degenerate birth in vacuum: tau0 == 0 -> photon escapes freely
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
 
+            dead_now = esc_fly
+            if meta.atmosphere:
+                dead_now = jnp.logical_or(
+                    dead_now, jnp.logical_or(
+                        jnp.logical_and(escaped, jnp.logical_and(
+                            bottom, s.phase == FLYING)), mask_fly))
             phase_new = jnp.where(
-                esc_fly, DEAD,
+                dead_now, DEAD,
                 jnp.where(ffs_vacuum, DEAD,
                           jnp.where(ffs_done, FLYING,
                                     jnp.where(jnp.logical_and(hit, ~is_ffs),
@@ -700,7 +750,8 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
                 (esc_mu_r, ffs_mu_r) if save_Jmu else ())
-            return s2, (rec2, (J1_c, Pn_c), (esc_b2_r, esc_wall_r)), n + 1
+            return s2, (rec2, (J1_c, Pn_c), (esc_b2_r, esc_wall_r),
+                        (ab2_ix_r, ab2_w_r)), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
@@ -713,9 +764,14 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
         Pn_0 = tallies.Pnew if tallies.Pnew is not None \
             else jnp.zeros((1,), jnp.float32)
         b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
+        ab2_0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
         state, rec_jpa, _ = jax.lax.while_loop(
-            cond, body, (state, (rec0, (J1_0, Pn_0), b2_0), jnp.int32(0)))
-        rec, (J1_f, Pn_f), (esc_b2, esc_wall) = rec_jpa
+            cond, body,
+            (state, (rec0, (J1_0, Pn_0), b2_0, ab2_0), jnp.int32(0)))
+        rec, (J1_f, Pn_f), (esc_b2, esc_wall), (ab2_ix, ab2_w) = rec_jpa
+        if tallies.Jabs2 is not None:
+            tallies = tallies._replace(
+                Jabs2=tallies.Jabs2.at[ab2_ix].add(ab2_w))
         if tallies.J1 is not None:
             tallies = tallies._replace(J1=J1_f)
         if tallies.Pnew is not None:
@@ -775,7 +831,8 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
 
         def body(carry):
             s, rec, n = carry
-            rec, (J1_c, Pn_c), (esc_b2_r, esc_wall_r) = rec
+            rec, (J1_c, Pn_c), (esc_b2_r, esc_wall_r), ab2 = rec
+            ab2_ix_r, ab2_w_r = ab2
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
                  esc_mu_r, ffs_mu_r) = rec
@@ -899,6 +956,16 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             ix = jnp.floor((xfreq_lab - meta.xfreq_min)
                            / meta.dxfreq).astype(jnp.int32)
             in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
+            if meta.atmosphere:
+                # route Jabs2 destruction away from Jout
+                dest2 = jnp.logical_or(jnp.logical_and(esc_fly, bottom),
+                                       mask_fly)
+                esc_fly = jnp.logical_and(esc_fly, ~bottom)
+                rec_a = jnp.logical_and(dest2, in_rng)
+                ab2_ix_r = jnp.where(rec_a,
+                                     jnp.clip(ix, 0, meta.nxfreq - 1),
+                                     ab2_ix_r)
+                ab2_w_r = jnp.where(rec_a, s.wgt, ab2_w_r)
             rec_e = jnp.logical_and(esc_fly, in_rng)
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)
@@ -957,7 +1024,8 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
                 (esc_mu_r, ffs_mu_r) if save_Jmu else ())
-            return s2, (rec2, (J1_c, Pn_c), (esc_b2_r, esc_wall_r)), n + 1
+            return s2, (rec2, (J1_c, Pn_c), (esc_b2_r, esc_wall_r),
+                        (ab2_ix_r, ab2_w_r)), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
@@ -970,9 +1038,14 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
         Pn_0 = tallies.Pnew if tallies.Pnew is not None \
             else jnp.zeros((1,), jnp.float32)
         b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
+        ab2_0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
         state, rec_jpa, _ = jax.lax.while_loop(
-            cond, body, (state, (rec0, (J1_0, Pn_0), b2_0), jnp.int32(0)))
-        rec, (J1_f, Pn_f), (esc_b2, esc_wall) = rec_jpa
+            cond, body,
+            (state, (rec0, (J1_0, Pn_0), b2_0, ab2_0), jnp.int32(0)))
+        rec, (J1_f, Pn_f), (esc_b2, esc_wall), (ab2_ix, ab2_w) = rec_jpa
+        if tallies.Jabs2 is not None:
+            tallies = tallies._replace(
+                Jabs2=tallies.Jabs2.at[ab2_ix].add(ab2_w))
         if tallies.J1 is not None:
             tallies = tallies._replace(J1=J1_f)
         if tallies.Pnew is not None:
@@ -1780,7 +1853,8 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             if geom == 'plane_atmosphere':
                 z = jnp.full(shape, par.zmax, jnp.float32)
                 return (jnp.zeros(shape, jnp.float32),
-                        jnp.zeros(shape, jnp.float32), z, one, (-1.0, 0.0))
+                        jnp.zeros(shape, jnp.float32), z, one,
+                        (0.0, 0.0, -1.0))
             # spherical_atmosphere: disk at zmin beaming +z
             rmax = meta.xmax if par.rmax <= 0 else par.rmax
             rp = jnp.sqrt(xi[0]) * rmax
@@ -1788,7 +1862,7 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             phi = dphi * xi[1]
             return (rp * jnp.cos(phi), rp * jnp.sin(phi),
                     jnp.full(shape, meta.zmin, jnp.float32), one,
-                    (1.0, 0.0))
+                    (0.0, 0.0, 1.0))
         if sg == 'diffuse_emissivity':
             if src is not None and src.ep_axis is not None:
                 kp = jax.random.fold_in(key, 3)
@@ -1828,7 +1902,23 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
 
         keys = jax.random.split(key, 6)
         shape = s.x.shape
-        x, y, z, wgt_birth, dirn = gen_position(keys[0], shape, grid, src)
+        ff = nrej = None
+        if sg == 'stellar_illumination':
+            from ..physics import sources as src_mod
+            rmax = par.rmax if par.rmax > 0 else meta.xmax
+            (x, y, z, kxv, kyv, kzv, wgt_birth, ff,
+             nrej) = src_mod.sample_stellar_illumination(
+                keys[0], par, rmax, shape)
+            dirn = (kxv, kyv, kzv)
+        elif sg == 'point_illumination':
+            from ..physics import sources as src_mod
+            (x, y, z, kxv, kyv, kzv, wgt_birth, ff,
+             nrej) = src_mod.sample_point_illumination(
+                keys[0], par, meta, shape)
+            dirn = (kxv, kyv, kzv)
+        else:
+            x, y, z, wgt_birth, dirn = gen_position(keys[0], shape, grid,
+                                                    src)
         if par.xyz_symmetry and sg not in ('point', ''):
             x, y, z = jnp.abs(x), jnp.abs(y), jnp.abs(z)
 
@@ -1838,15 +1928,21 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             cost = 2.0 * xi[0] - 1.0
             sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
             phi = 2.0 * math.pi * xi[1]
+            cosp = jnp.cos(phi)
+            sinp = jnp.sin(phi)
+            kx = sint * cosp
+            ky = sint * sinp
+            kz = cost
         else:
-            # beamed source: fixed (cost, phi)
-            cost = jnp.full(shape, dirn[0], jnp.float32)
-            sint = jnp.full(shape, math.sqrt(max(1.0 - dirn[0] ** 2, 0.0)),
-                            jnp.float32)
-            phi = jnp.full(shape, dirn[1], jnp.float32)
-        kx = sint * jnp.cos(phi)
-        ky = sint * jnp.sin(phi)
-        kz = cost
+            # beamed source: direction vector (broadcast if static)
+            kx = jnp.broadcast_to(jnp.asarray(dirn[0], jnp.float32), shape)
+            ky = jnp.broadcast_to(jnp.asarray(dirn[1], jnp.float32), shape)
+            kz = jnp.broadcast_to(jnp.asarray(dirn[2], jnp.float32), shape)
+            cost = kz
+            sint = jnp.sqrt(jnp.maximum(1.0 - kz * kz, 0.0))
+            safe = jnp.maximum(sint, 1e-20)
+            cosp = jnp.where(sint > 0, kx / safe, 1.0)
+            sinp = jnp.where(sint > 0, ky / safe, 0.0)
 
         # cell indices with edge fixes (generate_photon.f90:381-390);
         # AMR: octree descent to the enclosing cell
@@ -1960,11 +2056,11 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             Q=w(jnp.zeros(shape, jnp.float32), s.Q),
             U=w(jnp.zeros(shape, jnp.float32), s.U),
             V=w(jnp.zeros(shape, jnp.float32), s.V),
-            mx=w(cost * jnp.cos(phi), s.mx),
-            my=w(cost * jnp.sin(phi), s.my),
+            mx=w(cost * cosp, s.mx),
+            my=w(cost * sinp, s.my),
             mz=w(-sint, s.mz),
-            nnx=w(-jnp.sin(phi), s.nnx),
-            nny=w(jnp.cos(phi), s.nny),
+            nnx=w(-sinp, s.nnx),
+            nny=w(cosp, s.nny),
             nnz=w(jnp.zeros(shape, jnp.float32), s.nnz),
             ic=w(ic, s.ic), jc=w(jc, s.jc), kc=w(kc, s.kc),
             xfreq=w(xfreq, s.xfreq),
@@ -1977,6 +2073,15 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             bkx=w(kx, s.bkx), bky=w(ky, s.bky), bkz=w(kz, s.bkz),
             iband=w(jnp.ones(shape, jnp.int32), s.iband),
             n_launched=s.n_launched + n_new)
+        if ff is not None and t.flux_factor is not None:
+            # transit bookkeeping (photon%flux_factor accumulation,
+            # run_simulation_mod.f90:117,194; nrejected of ALL candidate
+            # draws enters the denominator, output_sum_rect.f90:17-18)
+            t = t._replace(
+                flux_factor=t.flux_factor
+                + jnp.sum(jnp.where(launch, ff, 0.0)),
+                nrejected=t.nrejected
+                + jnp.sum(jnp.where(launch, nrej, 0.0)))
         # direct peel of the newborn photon at full weight, BEFORE forced
         # first scattering reweighting (generate_photon.f90:336-339)
         if peel_direct is not None:
@@ -2087,7 +2192,11 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
                                nbin_JPa=meta.nbin_JPa, calcJ=cfg.par.calcJ,
                                calcP=cfg.par.calcP,
                                calcPnew=cfg.par.calcPnew,
-                               lyb=cfg.line.line_type == 8)
+                               lyb=cfg.line.line_type == 8,
+                               atmosphere=meta.atmosphere > 0,
+                               illumination=cfg.par.source_geometry.strip()
+                               .lower() in ('stellar_illumination',
+                                            'point_illumination'))
 
         def body(i, carry):
             st, tl = carry
@@ -2360,6 +2469,16 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             ix = jnp.floor((s.xfreq - meta.xfreq_min)
                            / meta.dxfreq).astype(jnp.int32)
             in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
+            if meta.atmosphere:
+                # route Jabs2 destruction away from Jout
+                dest2 = jnp.logical_or(jnp.logical_and(esc_fly, bottom),
+                                       mask_fly)
+                esc_fly = jnp.logical_and(esc_fly, ~bottom)
+                rec_a = jnp.logical_and(dest2, in_rng)
+                ab2_ix_r = jnp.where(rec_a,
+                                     jnp.clip(ix, 0, meta.nxfreq - 1),
+                                     ab2_ix_r)
+                ab2_w_r = jnp.where(rec_a, s.wgt, ab2_w_r)
             rec_e = jnp.logical_and(esc_fly, in_rng)
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)

@@ -1,0 +1,135 @@
+"""Exoplanet atmosphere machinery: plane/spherical atmosphere geometries,
+Jabs2 molecular-zone losses, stellar/point/plane illumination sources
+(reference src/stellar_illumination.f90, src/point_illumination.f90,
+src/raytrace_car.f90:2956-3978)."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lart_tpu.config import Params
+from lart_tpu.transport import engine
+from lart_tpu.grid.cartesian import build_cartesian
+
+
+def _run(par, n_chunks=300, seed=9):
+    cfg = par.resolve()
+    meta, grid = build_cartesian(cfg)
+    chunk = jax.jit(engine.make_chunk(cfg, meta))
+    st = engine.init_state(par.batch_size)
+    ns = jnp.asarray([par.nphotons], jnp.int32)
+    key = jax.random.PRNGKey(seed)
+    acc = {'jout': 0.0, 'jabs2': 0.0, 'ff': 0.0, 'nrej': 0.0, 'nsc': 0.0}
+    for i in range(n_chunks):
+        st, tl, alive, launched = chunk(st, grid, jax.random.fold_in(key, i),
+                                        ns, None, None)
+        acc['jout'] += np.asarray(tl.Jout, np.float64).sum()
+        acc['nsc'] += float(tl.nscatt_gas)
+        if tl.Jabs2 is not None:
+            acc['jabs2'] += np.asarray(tl.Jabs2, np.float64).sum()
+        if tl.flux_factor is not None:
+            acc['ff'] += float(tl.flux_factor)
+            acc['nrej'] += float(tl.nrejected)
+        if int(launched) >= par.nphotons and int(alive) == 0:
+            return cfg, meta, acc
+    raise AssertionError('did not drain')
+
+
+def test_plane_atmosphere_thin_conserves():
+    """Nearly transparent plane atmosphere, plane illumination straight
+    down: the forced-first-scattering escaped fraction e^-tau0 ~ 1 goes to
+    Jout (add_escaped_fraction_to_Jout, the reference convention); the
+    scattered residual (~tau0) splits between Jout and the bottom Jabs2."""
+    par = Params(nphotons=2000, geometry='plane_atmosphere',
+                 nx=1, ny=1, nz=32, xmax=1, ymax=1, zmax=1,
+                 taumax=1e-4, temperature=1e4,
+                 xfreq_min=-20.0, xfreq_max=20.0,
+                 source_geometry='plane_illumination',
+                 spectral_type='monochromatic',
+                 batch_size=1024, chunk_cycles=8)
+    cfg, meta, acc = _run(par)
+    assert meta.atmosphere == 1
+    tot = (acc['jout'] + acc['jabs2']) / par.nphotons
+    assert abs(tot - 1.0) < 1e-3, tot
+    assert acc['jout'] / par.nphotons > 0.999
+    assert acc['jabs2'] > 0.0
+
+
+def test_plane_atmosphere_thick_conserves():
+    """Optically thick plane atmosphere: Jout + Jabs2 conserve weight and
+    both channels are populated."""
+    par = Params(nphotons=2000, geometry='plane_atmosphere',
+                 nx=1, ny=1, nz=32, xmax=1, ymax=1, zmax=1,
+                 taumax=1e3, temperature=1e4,
+                 xfreq_min=-40.0, xfreq_max=40.0,
+                 source_geometry='plane_illumination',
+                 spectral_type='voigt',
+                 batch_size=1024, chunk_cycles=16)
+    cfg, meta, acc = _run(par, n_chunks=500)
+    tot = (acc['jout'] + acc['jabs2']) / par.nphotons
+    assert abs(tot - 1.0) < 2e-3, tot
+    assert acc['jout'] > 0 and acc['jabs2'] > 0
+    assert acc['nsc'] / par.nphotons > 1.0
+
+
+def test_stellar_illumination_sampler_geometry():
+    from lart_tpu.physics.sources import sample_stellar_illumination
+    par = Params(stellar_radius=10.0, distance_star_to_planet=100.0,
+                 stellar_limb_darkening=2, rmax=1.0)
+    key = jax.random.PRNGKey(0)
+    x, y, z, kx, ky, kz, wgt, ff, nrej = sample_stellar_illumination(
+        key, par, 1.0, (20000,))
+    r = np.sqrt(np.asarray(x) ** 2 + np.asarray(y) ** 2 + np.asarray(z) ** 2)
+    # photons start on the planet sphere (f32 cancellation from the
+    # star-centered coordinates leaves ~1e-3 radial jitter)
+    assert np.quantile(np.abs(r - 1.0), 0.99) < 2e-2
+    # directions point inward at the entry point (r.k <= 0)
+    rk = (np.asarray(x) * np.asarray(kx) + np.asarray(y) * np.asarray(ky)
+          + np.asarray(z) * np.asarray(kz))
+    assert np.quantile(rk, 0.99) <= 1e-4
+    # Eddington weights within [0, 2.5] and mean ~ 1 modulo geometry
+    w = np.asarray(wgt)
+    assert w.min() >= 0.0 and w.max() <= 2.6
+    assert np.asarray(ff).min() > 0.0
+
+
+def test_spherical_atmosphere_stellar_run():
+    """Spherical atmosphere shell + masked molecular core, stellar
+    illumination: weight is conserved across Jout/Jabs2 and the core
+    absorbs a large fraction (thin shell, star far away -> near-parallel
+    rays hit the planet disk)."""
+    par = Params(nphotons=2000, geometry='spherical_atmosphere',
+                 nx=33, ny=33, nz=33, xmax=1, ymax=1, zmax=1,
+                 rmax=1.0, rmin=0.6,
+                 taumax=1e-3, temperature=1e4,
+                 xfreq_min=-20.0, xfreq_max=20.0,
+                 source_geometry='stellar_illumination',
+                 stellar_radius=20.0, distance_star_to_planet=500.0,
+                 stellar_limb_darkening=2,
+                 spectral_type='monochromatic',
+                 batch_size=1024, chunk_cycles=16)
+    cfg, meta, acc = _run(par, n_chunks=400)
+    assert meta.atmosphere == 2
+    tot = (acc['jout'] + acc['jabs2']) / par.nphotons
+    assert abs(tot - 1.0) < 5e-2, tot       # limb weights vary per photon
+    # the masked core (rmin=0.6) subtends ~(0.6)^2 of the planet disk
+    frac_core = acc['jabs2'] / (acc['jout'] + acc['jabs2'])
+    assert 0.15 < frac_core < 0.6, frac_core
+    assert acc['ff'] > 0.0
+
+
+def test_point_illumination_run():
+    par = Params(nphotons=2000, geometry='',
+                 nx=17, ny=17, nz=9, xmax=1, ymax=1, zmax=0.2,
+                 tauhomo=0.5, temperature=1e4,
+                 xfreq_min=-20.0, xfreq_max=20.0,
+                 source_geometry='point_illumination',
+                 zs_point=-5.0,
+                 spectral_type='voigt',
+                 batch_size=1024, chunk_cycles=16)
+    cfg, meta, acc = _run(par)
+    assert abs(acc['jout'] / par.nphotons - 1.0) < 1e-3
+    assert acc['ff'] > 0.0
