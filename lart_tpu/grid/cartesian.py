@@ -98,6 +98,10 @@ class GridMeta:
     # exoplanet atmosphere mode: 0 none, 1 plane (bottom z absorbs -> Jabs2),
     # 2 spherical (masked molecular core absorbs -> Jabs2)
     atmosphere: int = 0
+    # shearing-box velocity jump per periodic x-wrap, in thermal units
+    # (q * Omega * Lx; raytrace_to_tau_car_xyper_shear,
+    # raytrace_car.f90:2677-2954, grid_mod_car.f90:346-351)
+    omega_shear: float = 0.0
 
     @property
     def xrange(self): return self.xmax - self.xmin
@@ -428,6 +432,17 @@ def build_cartesian(cfg: ResolvedConfig):
         xi_, chi = (0.6, 1.2) if atau0 <= 60.0 else (1.4, 0.6)
         xcrit = 0.02 * math.exp(xi_ * (math.log(atau0)) ** chi)
 
+    # shearing box (TIGRESS): background vy0 = -q*Omega*x; a photon
+    # wrapping across the periodic x boundary shifts its shear-frame
+    # y-velocity by q*Omega*Lx (converted to thermal units)
+    omega_shear = 0.0
+    if par.Omega != 0.0 and par.xy_periodic:
+        KPC2CM = 3.0856775814913673e21
+        om = par.Omega
+        if par.distance_unit.strip() != 'kpc' and par.distance2cm > 0:
+            om = om * (par.distance2cm / KPC2CM)
+        omega_shear = par.q * om * (2.0 * xmax) / cfg.vtherm
+
     # CALCJ/P binning geometry
     geometry_JPa, nbin_JPa, dr_JPa, roff_JPa = 0, 0, 0.0, 0.0
     if par.calcJ or par.calcP or par.calcPnew:
@@ -462,7 +477,7 @@ def build_cartesian(cfg: ResolvedConfig):
         atau3=float(atau3),
         geometry_JPa=geometry_JPa, nbin_JPa=nbin_JPa,
         dr_JPa=float(dr_JPa), roff_JPa=float(roff_JPa),
-        atmosphere=atm)
+        atmosphere=atm, omega_shear=float(omega_shear))
 
     f32 = lambda x: jnp.asarray(x, jnp.float32) if x is not None else None
     dev = GridDevice(

@@ -143,11 +143,24 @@ def vz_round(key, env: VzEnvelope, accepted: jnp.ndarray, vz: jnp.ndarray,
     beta = jnp.clip(beta, 1e-35, 1.0)
     Cb = jnp.where(p0, beta / env.a, jnp.where(p1, env.C1, env.C2))
     pb = jnp.sqrt(jnp.maximum(-2.0 * jnp.log(beta), 0.0))
-    t2 = jnp.arctan((pb - env.x0) / env.a)
-    t1 = jnp.arctan((-pb - env.x0) / env.a)
-    delt = t2 - t1
+    u_hi = (pb - env.x0) / env.a
+    u_lo = (-pb - env.x0) / env.a
+    # atan(u_hi) - atan(u_lo) via the difference identity: for far-wing
+    # lanes both angles sit at -pi/2 within f32 epsilon and the naive
+    # difference cancels to 0, locking the rejection loop forever
+    delt = jnp.arctan2(u_hi - u_lo, 1.0 + u_hi * u_lo)
     acc_wing = xi[2] * Cb < (beta / (env.a * PI)) * delt
-    vz_wing = env.x0 + env.a * jnp.tan(delt * xi[3] + t1)
+    t1 = jnp.arctan(u_lo)
+    vz_tan = env.x0 + env.a * jnp.tan(delt * xi[3] + t1)
+    # far wing (the whole [-pb, pb] range is >> a away from x0): the
+    # truncated Lorentzian is an inverse-square law in y = x0 - vz; sample
+    # it by exact inverse CDF instead of the angle-domain tan, which has no
+    # f32 resolution left near the pole
+    far = env.x0 - pb > 1e3 * env.a
+    y1 = jnp.maximum(env.x0 - pb, 1e-20)
+    y2 = env.x0 + pb
+    y = 1.0 / jnp.maximum(1.0 / y1 - xi[3] * (1.0 / y1 - 1.0 / y2), 1e-30)
+    vz_wing = jnp.where(far, env.x0 - y, vz_tan)
 
     new_acc = jnp.where(env.core, acc_core, acc_wing)
     new_vz = jnp.where(env.core, vz_core, vz_wing) * env.sgn

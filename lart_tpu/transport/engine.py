@@ -88,6 +88,9 @@ class BatchState(NamedTuple):
     nnx: jnp.ndarray
     nny: jnp.ndarray
     nnz: jnp.ndarray
+    # accumulated shear-frame y-velocity offset (photon%vfy_shear,
+    # define.f90:100; updated on periodic x-wraps in the shearing box)
+    vfy_shear: jnp.ndarray
     # photon band (ly_beta line_type 8): 1 = resonance, 2 = H-alpha
     iband: jnp.ndarray
     # scalar bookkeeping
@@ -132,6 +135,7 @@ def init_state(batch: int) -> BatchState:
                       bxfreq=zf, bkx=zf, bky=zf, bkz=zf + 1.0,
                       Q=zf, U=zf, V=zf, mx=zf + 1.0, my=zf, mz=zf,
                       nnx=zf, nny=zf + 1.0, nnz=zf,
+                      vfy_shear=zf,
                       iband=zi + 1,
                       n_launched=jnp.zeros((1,), jnp.int32))
 
@@ -608,6 +612,17 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                 jnp.logical_and(cx, esc_x), jnp.logical_and(cy, esc_y)),
                 jnp.logical_and(cz, esc_z))
 
+            # --- shearing box: periodic x-wrap shifts the shear-frame
+            # y-velocity by -+ q*Omega*Lx (raytrace_car.f90:2841-2850)
+            if meta.omega_shear != 0.0:
+                wrap_lo = jnp.logical_and(cx, s.ic + stx < 0)
+                wrap_hi = jnp.logical_and(cx, s.ic + stx >= nx)
+                shear_new = (s.vfy_shear
+                             - jnp.where(wrap_lo, meta.omega_shear, 0.0)
+                             + jnp.where(wrap_hi, meta.omega_shear, 0.0))
+            else:
+                shear_new = s.vfy_shear
+
             # --- exoplanet atmosphere destruction -> Jabs2
             # plane: photons exiting the BOTTOM z face are destroyed
             # (raytrace_to_tau_car_zonly_atmosphere, raytrace_car.f90:
@@ -631,11 +646,15 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
             changed = jnp.logical_and(crossed, ~escaped)
             if lt8:
                 changed = jnp.logical_and(changed, s.iband == 1)
-            if not meta.static_medium or not meta.uniform_temperature:
+            if (not meta.static_medium or not meta.uniform_temperature
+                    or meta.omega_shear != 0.0):
                 u1 = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                        s.kx, s.ky, s.kz)
                 u2 = cell_velocity_dot(grid, meta, ic_new, jc_new, kc_new,
                                        kx_new, ky_new, kz_new)
+                if meta.omega_shear != 0.0:
+                    u1 = u1 + s.vfy_shear * s.ky
+                    u2 = u2 + shear_new * ky_new
                 D2 = cell_Dfreq(grid, meta, ic_new, jc_new, kc_new)
                 xf_new = (s.xfreq + u1) * D_cell / D2 - u2
                 xfreq_new = jnp.where(changed, xf_new, s.xfreq)
@@ -657,6 +676,8 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
 
             u_esc = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                       s.kx, s.ky, s.kz)
+            if meta.omega_shear != 0.0:
+                u_esc = u_esc + s.vfy_shear * s.ky
             xfreq_lab = (s.xfreq + u_esc) * (D_cell / meta.Dfreq_ref)
             if lt8:
                 # band 2 frequency is already lab-frame in reference units
@@ -737,6 +758,10 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                 ky=rb(jnp.where(moving, ky_new, s.ky), s.bky),
                 kz=rb(jnp.where(moving, kz_new, s.kz), s.bkz),
                 xfreq=rb(jnp.where(moving, xfreq_new, s.xfreq), s.bxfreq),
+                vfy_shear=jnp.where(
+                    ffs_done, 0.0,
+                    jnp.where(moving, shear_new, s.vfy_shear))
+                if meta.omega_shear != 0.0 else s.vfy_shear,
                 wgt=jnp.where(ffs_done, s.wgt * wgt1, s.wgt),
                 tau_run=jnp.where(ffs_done, 0.0,
                                   jnp.where(moving, tau_n, s.tau_run)),
@@ -949,6 +974,8 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
 
             u_esc = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                       s.kx, s.ky, s.kz)
+            if meta.omega_shear != 0.0:
+                u_esc = u_esc + s.vfy_shear * s.ky
             xfreq_lab = (s.xfreq + u_esc) * (D_cell / meta.Dfreq_ref)
             if lt8:
                 # band 2 frequency is already lab-frame in reference units
@@ -2071,6 +2098,7 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             bic=w(ic, s.bic), bjc=w(jc, s.bjc), bkc=w(kc, s.bkc),
             bxfreq=w(xfreq, s.bxfreq),
             bkx=w(kx, s.bkx), bky=w(ky, s.bky), bkz=w(kz, s.bkz),
+            vfy_shear=w(jnp.zeros(shape, jnp.float32), s.vfy_shear),
             iband=w(jnp.ones(shape, jnp.int32), s.iband),
             n_launched=s.n_launched + n_new)
         if ff is not None and t.flux_factor is not None:
