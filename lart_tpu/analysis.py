@@ -1,0 +1,401 @@
+"""High-level output analysis: the equivalent of the reference's
+python/read_lart.py (`read_lart('run.h5') -> LaRTOutput` with summary and
+plot_* methods; reference python/read_lart.py:54-2600).
+
+Reads the HDF5 outputs written by lart_tpu.io.writer (same section schema as
+the reference Fortran code), discovers the per-observer `_peel3D` and `_tau`
+side files, and provides the plotting utilities used by the reference's
+example/benchmark scripts.  matplotlib is imported lazily so headless
+pipelines can use the data accessors without a display stack.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import h5py
+
+__all__ = ['read_lart', 'LaRTOutput', 'PeelObservation']
+
+
+def _attrs(g) -> Dict:
+    return {k: (v.item() if hasattr(v, 'item') and getattr(v, 'ndim', 0) == 0
+                else v) for k, v in g.attrs.items()}
+
+
+def _plt():
+    import matplotlib
+    if not os.environ.get('DISPLAY'):
+        matplotlib.use('Agg', force=False)
+    import matplotlib.pyplot as plt
+    return plt
+
+
+@dataclass
+class PeelObservation:
+    """One observer's peel cubes (PeelObservation,
+    reference python/read_lart.py:54-219)."""
+    filename: str
+    header: Dict
+    scatt: np.ndarray                    # (nxfreq, nxim, nyim) | (nxfreq, npix)
+    direc: np.ndarray
+    stokes: Dict[str, np.ndarray] = field(default_factory=dict)
+    radial: Optional[Dict] = None
+    healpix: bool = False
+
+    @property
+    def total(self) -> np.ndarray:
+        return self.scatt + self.direc
+
+    @property
+    def npix(self) -> int:
+        return int(np.prod(self.scatt.shape[1:]))
+
+    def average_spectrum(self, component: str = 'total') -> np.ndarray:
+        """Spatially integrated spectrum of a component
+        ('total'|'scatt'|'direc')."""
+        cube = getattr(self, 'total' if component == 'total' else component)
+        return cube.reshape(cube.shape[0], -1).sum(axis=1)
+
+    def moment0(self, component: str = 'total') -> np.ndarray:
+        cube = getattr(self, 'total' if component == 'total' else component)
+        return cube.sum(axis=0)
+
+    def velocity_moment_map(self, velocity: np.ndarray, order: int = 1,
+                            component: str = 'total') -> np.ndarray:
+        """Flux-weighted velocity moment map (velocity_moment_map,
+        read_lart.py:116-218)."""
+        cube = getattr(self, 'total' if component == 'total' else component)
+        m0 = cube.sum(axis=0)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            m1 = np.tensordot(velocity, cube, axes=(0, 0)) / m0
+            if order == 1:
+                return np.where(m0 > 0, m1, np.nan)
+            dv2 = np.tensordot(velocity[:, None, None] ** 2
+                               if cube.ndim == 3 else velocity[:, None] ** 2,
+                               cube, axes=(0, 0)) / m0 - m1 ** 2
+            return np.where(m0 > 0, np.sqrt(np.maximum(dv2, 0.0)), np.nan)
+
+
+@dataclass
+class LaRTOutput:
+    """All sections of one run (LaRTOutput, read_lart.py:624-785)."""
+    filename: str
+    header: Dict
+    xfreq: np.ndarray
+    velocity: np.ndarray
+    wavelength: np.ndarray
+    Jout: np.ndarray
+    Jin: Optional[np.ndarray] = None
+    Jabs: Optional[np.ndarray] = None
+    Jabs2: Optional[np.ndarray] = None
+    Jout_Ha: Optional[np.ndarray] = None
+    Jabs_Ha: Optional[np.ndarray] = None
+    J2gam: Optional[np.ndarray] = None
+    y_2gam: Optional[np.ndarray] = None
+    Jmu: Optional[np.ndarray] = None
+    Jmu_header: Optional[Dict] = None
+    J1: Optional[np.ndarray] = None
+    Pa: Optional[np.ndarray] = None
+    Pnew: Optional[np.ndarray] = None
+    r_JPa: Optional[np.ndarray] = None
+    peel: List[PeelObservation] = field(default_factory=list)
+    tau_maps: List[Dict] = field(default_factory=list)
+
+    # ------------------------------------------------------------------
+    @property
+    def nphotons(self):
+        return self.header.get('nphotons')
+
+    @property
+    def nscatt_tot(self):
+        return self.header.get('Nsc_tot')
+
+    def summary(self) -> str:
+        h = self.header
+
+        def fmt(k, f='{:.4g}'):
+            v = h.get(k)
+            return f.format(v) if v is not None else '-'
+        lines = [
+            f"file        : {self.filename}",
+            f"nphotons    : {fmt('nphotons')}",
+            f"temperature : {fmt('temp')} K",
+            f"taumax      : {fmt('taumax')}   tauhomo: {fmt('tauhomo')}",
+            f"N_gasmax    : {fmt('Ngasmax')}  DGR: {fmt('DGR')}",
+            f"<N_scatt>   : {fmt('Nsc_tot', '{:.5g}')} "
+            f"(gas {fmt('Nsc_gas')}, dust {fmt('Nsc_dust')})",
+            f"exetime     : {fmt('ExeTime', '{:.3f}')} min  "
+            f"(nproc {h.get('Nprocs', '-')})",
+        ]
+        if 'flux_factor' in h:
+            lines.append(f"flux_factor : {fmt('flux_factor')}")
+        if 'W_conv' in h:
+            lines.append(
+                f"ly_beta     : W_esc1 {fmt('W_esc1')} W_abs1 {fmt('W_abs1')}"
+                f" W_conv {fmt('W_conv')} W_esc2 {fmt('W_esc2')}"
+                f" W_abs2 {fmt('W_abs2')}")
+        if self.peel:
+            lines.append(f"peel        : {len(self.peel)} observer(s), "
+                         f"{self.peel[0].scatt.shape}")
+        return "\n".join(lines)
+
+    # ------------------------------------------------------------------
+    def plot_spectrum(self, ax=None, xaxis: str = 'xfreq', log: bool = False,
+                      show_Jin: bool = False, show: bool = False):
+        """Emergent spectrum Jout (+Jin/Jabs) vs xfreq|velocity|wavelength
+        (plot_spectrum, read_lart.py:786-913)."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        x = {'xfreq': self.xfreq, 'velocity': self.velocity,
+             'wavelength': self.wavelength}[xaxis]
+        ax.step(x, self.Jout, where='mid', label='Jout')
+        if show_Jin and self.Jin is not None:
+            ax.step(x, self.Jin, where='mid', label='Jin', alpha=0.6)
+        if self.Jabs is not None and np.any(self.Jabs > 0):
+            ax.step(x, self.Jabs, where='mid', label='Jabs', alpha=0.6)
+        if log:
+            ax.set_yscale('log')
+        ax.set_xlabel({'xfreq': r'$x$', 'velocity': 'velocity [km/s]',
+                       'wavelength': r'wavelength [$\AA$]'}[xaxis])
+        ax.set_ylabel(r'$J$')
+        ax.legend()
+        if show:
+            plt.show()
+        return ax
+
+    def plot_lyb_budget(self, ax=None, show: bool = False):
+        """Ly-beta weight budget bars: W_esc1 + W_abs1 + W_conv = 1 and
+        W_esc2 + W_abs2 = W_conv (plot_lyb_budget, read_lart.py:981-1031)."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        h = self.header
+        keys = ['W_esc1', 'W_abs1', 'W_conv', 'W_esc2', 'W_abs2']
+        vals = [h.get(k, 0.0) for k in keys]
+        ax.bar(keys, vals)
+        ax.set_ylabel('weight fraction')
+        ax.set_title(f"band-1 sum = {vals[0] + vals[1] + vals[2]:.4f}; "
+                     f"band-2 sum/W_conv = "
+                     f"{(vals[3] + vals[4]) / max(vals[2], 1e-30):.4f}")
+        if show:
+            plt.show()
+        return ax
+
+    def plot_jmu(self, ax=None, show: bool = False):
+        """Angle-resolved spectra J(x, mu) (plot_jmu,
+        read_lart.py:1032-1179)."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        if self.Jmu is None:
+            raise ValueError('run had save_Jmu=False')
+        nmu = self.Jmu.shape[1]
+        for i in range(nmu):
+            ax.step(self.xfreq, self.Jmu[:, i], where='mid',
+                    label=f'mu bin {i}', alpha=0.8)
+        ax.step(self.xfreq, self.Jout, 'k', where='mid', lw=2, label='Jout')
+        ax.set_xlabel(r'$x$')
+        ax.set_ylabel(r'$J(x,\mu)$')
+        ax.legend(fontsize=6, ncol=2)
+        if show:
+            plt.show()
+        return ax
+
+    def plot_J_profile(self, ax=None, log: bool = True, show: bool = False):
+        """CALCJ mean-intensity profile J(r) or J(z) (plot_J_profile,
+        read_lart.py:1234-1262)."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        if self.J1 is None:
+            raise ValueError('run had calcJ=False')
+        prof = self.J1.sum(axis=0)
+        x = self.r_JPa if self.r_JPa is not None \
+            else np.arange(prof.shape[0])
+        ax.plot(x, prof)
+        if log:
+            ax.set_yscale('log')
+        ax.set_xlabel('r (or z) [code units]')
+        ax.set_ylabel(r'$J$')
+        if show:
+            plt.show()
+        return ax
+
+    def plot_Pa_profile(self, ax=None, which: str = 'auto', log: bool = True,
+                        show: bool = False):
+        """CALCP scattering-rate profile P_alpha (plot_Pa_profile,
+        read_lart.py:1263-1293)."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        prof = self.Pnew if (which in ('auto', 'new')
+                             and self.Pnew is not None) else self.Pa
+        if prof is None:
+            raise ValueError('run had calcP/calcPnew=False')
+        x = self.r_JPa if self.r_JPa is not None \
+            else np.arange(prof.shape[0])
+        ax.plot(x, prof)
+        if log:
+            ax.set_yscale('log')
+        ax.set_xlabel('r (or z) [code units]')
+        ax.set_ylabel(r'$P_\alpha$')
+        if show:
+            plt.show()
+        return ax
+
+    def plot_peeling_map(self, iobs: int = 0, component: str = 'total',
+                         ax=None, log: bool = True, show: bool = False):
+        """Frequency-integrated peel image (plot_peeling_map,
+        read_lart.py:1699-1976)."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        p = self.peel[iobs]
+        img = p.moment0(component)
+        if p.healpix:
+            ax.plot(img.ravel())
+            ax.set_xlabel('HEALPix RING pixel')
+            ax.set_ylabel('intensity')
+        else:
+            from matplotlib.colors import LogNorm
+            pos = img[img > 0]
+            norm = LogNorm(vmin=pos.min(), vmax=pos.max()) \
+                if (log and pos.size) else None
+            im = ax.imshow(img.T, origin='lower', norm=norm)
+            plt.colorbar(im, ax=ax)
+        if show:
+            plt.show()
+        return ax
+
+    def plot_peeling_spectrum(self, iobs: int = 0, ax=None,
+                              xaxis: str = 'xfreq', show: bool = False):
+        """Spatially integrated peel spectrum vs the Jout spectrum
+        (plot_peeling_spectrum, read_lart.py:1977-2215)."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        x = {'xfreq': self.xfreq, 'velocity': self.velocity,
+             'wavelength': self.wavelength}[xaxis]
+        p = self.peel[iobs]
+        ax.step(x, p.average_spectrum('scatt'), where='mid', label='scatt')
+        ax.step(x, p.average_spectrum('direc'), where='mid', label='direc')
+        ax.step(x, p.average_spectrum('total'), where='mid', label='total')
+        ax.legend()
+        if show:
+            plt.show()
+        return ax
+
+    def plot_peeling_radial_profile(self, iobs: int = 0, ax=None,
+                                    log: bool = True, show: bool = False):
+        """Radial surface-brightness profile from the peel image
+        (plot_peeling_radial_profile, read_lart.py:2216-2438)."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        p = self.peel[iobs]
+        if p.radial is not None:
+            ax.plot(p.radial['radius'], p.radial['I'])
+        else:
+            img = p.moment0()
+            ny, nx_ = img.shape
+            yy, xx = np.indices(img.shape)
+            r = np.hypot(xx - nx_ / 2.0 + 0.5, yy - ny / 2.0 + 0.5)
+            nb = min(nx_, ny) // 2
+            idx = np.clip(r.astype(int), 0, nb - 1)
+            prof = np.bincount(idx.ravel(), img.ravel(), nb) \
+                / np.maximum(np.bincount(idx.ravel(), None, nb), 1)
+            ax.plot(np.arange(nb) + 0.5, prof)
+        if log:
+            ax.set_yscale('log')
+        ax.set_xlabel('radius [pixels]')
+        ax.set_ylabel('I')
+        if show:
+            plt.show()
+        return ax
+
+
+# ---------------------------------------------------------------------------
+
+def _load_peel(path: str) -> PeelObservation:
+    with h5py.File(path, 'r') as f:
+        hdr = _attrs(f['Scattered'])
+        sc = np.asarray(f['Scattered/data'], np.float64)
+        dr = np.asarray(f['Direct/data'], np.float64)
+        stokes = {}
+        for nm in ('I', 'Q', 'U', 'V'):
+            key = f'Stokes_{nm}'
+            if key in f:
+                stokes[nm] = np.asarray(f[f'{key}/data'], np.float64)
+        radial = None
+        if 'RadialI' in f:
+            radial = {'radius': np.asarray(f['RadialI/radius']),
+                      'I': np.asarray(f['RadialI/I'])}
+        if 'Stokes_radial' in f:
+            radial = radial or {}
+            for nm in ('radius', 'I', 'Q', 'U', 'V', 'pol'):
+                if nm in f['Stokes_radial']:
+                    radial[f'stokes_{nm}'] = np.asarray(
+                        f[f'Stokes_radial/{nm}'])
+        healpix = hdr.get('PIXTYPE') == 'HEALPIX'
+    return PeelObservation(filename=path, header=hdr, scatt=sc, direc=dr,
+                           stokes=stokes, radial=radial, healpix=healpix)
+
+
+def read_lart(path: str) -> LaRTOutput:
+    """Load a run: the main output plus any per-observer _peel3D/_tau side
+    files sharing its basename (read_lart, reference python/read_lart.py)."""
+    with h5py.File(path, 'r') as f:
+        g = f['Spectrum']
+        header = _attrs(g)
+        out = LaRTOutput(
+            filename=path, header=header,
+            xfreq=np.asarray(g['Xfreq'], np.float64),
+            velocity=np.asarray(g['velocity'], np.float64),
+            wavelength=np.asarray(g['wavelength'], np.float64),
+            Jout=np.asarray(g['Jout'], np.float64),
+            Jin=np.asarray(g['Jin'], np.float64) if 'Jin' in g else None,
+            Jabs=np.asarray(g['Jabs'], np.float64) if 'Jabs' in g else None,
+            Jabs2=np.asarray(g['Jabs2'], np.float64)
+            if 'Jabs2' in g else None,
+        )
+        if 'Jout_Ha' in f:
+            out.Jout_Ha = np.asarray(f['Jout_Ha/data'], np.float64)
+        if 'Jabs_Ha' in f:
+            out.Jabs_Ha = np.asarray(f['Jabs_Ha/data'], np.float64)
+        if 'J2gam' in f:
+            out.J2gam = np.asarray(f['J2gam/data'], np.float64)
+            out.y_2gam = np.asarray(f['J2gam/y'], np.float64)
+        if 'Jmu' in f:
+            out.Jmu = np.asarray(f['Jmu/data'], np.float64)
+            out.Jmu_header = _attrs(f['Jmu'])
+        for nm, ext in (('J1', 'Jx_1D'), ('Pa', 'Pa_1D'), ('Pa', 'Pa_3D'),
+                        ('Pnew', 'Pa_1D_new')):
+            if ext in f:
+                setattr(out, nm, np.asarray(f[ext + '/data'], np.float64))
+                if 'radius' in f[ext]:
+                    out.r_JPa = np.asarray(f[ext + '/radius'], np.float64)
+        if out.J1 is not None and out.J1.ndim == 1 and out.r_JPa is not None:
+            nb = out.r_JPa.shape[0]
+            out.J1 = out.J1.reshape(-1, nb)
+
+    base, ext = os.path.splitext(path)
+    for pf in sorted(glob.glob(f'{base}*_peel3D{ext}')
+                     + [f'{base}_peel3D{ext}']):
+        if os.path.exists(pf):
+            out.peel.append(_load_peel(pf))
+    # dedupe (the glob can match the suffix-less name twice)
+    seen = set()
+    out.peel = [p for p in out.peel
+                if not (p.filename in seen or seen.add(p.filename))]
+    for tf in sorted(glob.glob(f'{base}*_tau{ext}')):
+        with h5py.File(tf, 'r') as f:
+            out.tau_maps.append(
+                {nm: np.asarray(f[nm + '/data'], np.float64)
+                 for nm in ('tau_gas', 'N_gas', 'tau_dust') if nm in f})
+    return out

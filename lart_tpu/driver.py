@@ -44,6 +44,24 @@ def run(par: Params, *, seed: Optional[int] = None,
     if par.use_clump_medium:
         from .grid.clump import build_clumps
         meta, cmeta, grid = build_clumps(cfg, seed=(seed or par.iseed) + 77)
+        if par.save_clump_info:
+            # write_clumps_info (clump_mod.f90:1779-1990)
+            import os
+            from .grid.clump import save_clumps
+            from .io.writer import output_filename
+            base, _ = os.path.splitext(output_filename(par))
+            pos = np.stack([np.asarray(grid.x), np.asarray(grid.y),
+                            np.asarray(grid.z)], axis=1)
+            from .config import vtherm_total as _vt
+            T_cl = par.clump_temperature if par.clump_temperature > 0 \
+                else par.temperature
+            vel = np.stack([np.asarray(grid.vx), np.asarray(grid.vy),
+                            np.asarray(grid.vz)], axis=1) \
+                * _vt(par, cfg.line, T_cl)
+            save_clumps(base + '_clumps.h5', pos, np.asarray(grid.radius),
+                        rhokap=np.asarray(grid.rhokap), vel=vel,
+                        sphere_R=par.rmax, rmin=max(par.rmin, 0.0),
+                        attrs={'F_VOL': cmeta.f_vol, 'F_COV': cmeta.f_cov})
     elif par.use_amr_grid:
         from .grid.amr import build_amr
         r = build_amr(cfg)

@@ -52,6 +52,26 @@ def read_generic_amr(path: str):
     return out
 
 
+def write_generic_amr(path: str, data: dict):
+    """Write a generic-AMR leaf list (the HDF5 flavor of the schema in
+    README_HOWTO.md:448-469: mandatory x/y/z/level/nH/T/vx/vy/vz + optional
+    physics columns; BOXLEN/ORIGIN* as attributes)."""
+    import h5py
+    with h5py.File(path, 'w') as f:
+        g = f.create_group('AMR')
+        for name in ('x', 'y', 'z', 'level', 'nH', 'T', 'vx', 'vy', 'vz',
+                     'metallicity', 'xHI', 'n_e', 'n_ion', 'emissivity',
+                     'ndust'):
+            if name in data:
+                g.create_dataset(name, data=np.asarray(data[name]))
+        g.attrs['BOXLEN'] = float(data['boxlen'])
+        ox, oy, oz = data.get('origin', (-0.5 * data['boxlen'],) * 3)
+        g.attrs['ORIGINX'] = float(ox)
+        g.attrs['ORIGINY'] = float(oy)
+        g.attrs['ORIGINZ'] = float(oz)
+    return path
+
+
 def cie_neutral_fraction_formula(T):
     """CIE xHI (physics_amr_mod.f90:34-44)."""
     T4 = np.maximum(T, 10.0) / 1e4

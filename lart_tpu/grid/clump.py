@@ -60,12 +60,15 @@ def build_clumps(cfg: ResolvedConfig, seed: int = 1234):
     par, line = cfg.par, cfg.line
     R = par.rmax if par.rmax > 0 else min(par.xmax, par.ymax, par.zmax)
     rmin = max(0.0, par.rmin)
+    from_file = bool(par.clump_input_file.strip())
     r_cl = par.clump_radius
-    if r_cl <= 0:
+    if r_cl <= 0 and not from_file:
         raise ValueError('clump_radius must be > 0')
 
     # --- population size (init_clumps, clump_mod.f90:723-740)
-    if par.clump_N_clumps > 0:
+    if from_file:
+        N = 1   # placeholder; set from the file below
+    elif par.clump_N_clumps > 0:
         N = int(par.clump_N_clumps)
     elif par.clump_f_vol > 0:
         N = int(round(par.clump_f_vol * (R ** 3 - rmin ** 3) / r_cl ** 3))
@@ -86,83 +89,161 @@ def build_clumps(cfg: ResolvedConfig, seed: int = 1234):
     voigt_a_cl = (line.damping / FOURPI) / Dfreq_cl
     H0 = float(_voigt0(np.array([voigt_a_cl]))[0])
     d2cm = par.distance2cm if par.distance2cm > 0 else 1.0
-    if par.clump_tau0 > 0:
+    if par.clump_tau0 > 0 and r_cl > 0:
         rhokap_ref = par.clump_tau0 / (H0 * r_cl)
-    elif par.clump_NHI > 0:
+    elif par.clump_NHI > 0 and r_cl > 0:
         rhokap_ref = par.clump_NHI * line.cross0 / (Dfreq_cl * r_cl)
     elif par.clump_nH > 0:
         rhokap_ref = par.clump_nH * line.cross0 * d2cm / Dfreq_cl
-    elif par.taumax > 0 or par.N_HImax > 0:
+    elif (par.taumax > 0 or par.N_HImax > 0) and not from_file:
         GF = N * r_cl ** 3 / max(R ** 2 + R * rmin + rmin ** 2, 1e-300)
         if par.taumax > 0:
             rhokap_ref = par.taumax / (GF * H0)
         else:
             rhokap_ref = par.N_HImax * line.cross0 / (GF * Dfreq_cl)
+    elif from_file:
+        rhokap_ref = 0.0   # taken from the file's RHOKAP column/keyword
     else:
         raise ValueError('specify clump_tau0/clump_NHI/clump_nH/taumax')
 
-    # --- RSA placement (generate_clumps); cKDTree neighbor rejection
-    rng = np.random.default_rng(seed)
-    r_hi = R - r_cl if par.clump_fully_inside else R
-    r_lo = rmin + r_cl if (rmin > 0 and par.clump_fully_inside) else rmin
-    pos = np.zeros((N, 3))
-    placed = 0
-    from scipy.spatial import cKDTree
-    batch = max(4 * N, 1024)
-    max_tries = 200
-    for _ in range(max_tries):
-        if placed >= N:
-            break
-        u = rng.random((batch, 3))
-        rr = (r_lo ** 3 + u[:, 0] * (r_hi ** 3 - r_lo ** 3)) ** (1 / 3)
-        ct = 2 * u[:, 1] - 1
-        st = np.sqrt(np.maximum(1 - ct * ct, 0))
-        ph = 2 * np.pi * u[:, 2]
-        cand = np.stack([rr * st * np.cos(ph), rr * st * np.sin(ph),
-                         rr * ct], axis=1)
-        if par.clump_allow_overlap:
-            take = cand[:N - placed]
-            pos[placed:placed + len(take)] = take
-            placed += len(take)
-        else:
-            for c in cand:
-                if placed >= N:
-                    break
-                if placed == 0:
-                    pos[0] = c
-                    placed = 1
-                    continue
-                tree = None
-                # incremental check against placed clumps via KDTree
-                # (rebuild every 512 insertions to amortize)
-                if placed % 512 == 1 or tree is None:
-                    tree = cKDTree(pos[:placed])
-                d, _ = tree.query(c, k=1)
-                if d >= 2 * r_cl:
-                    pos[placed] = c
-                    placed += 1
-    if placed < N:
-        N = placed
-        pos = pos[:N]
-        f_vol = N * r_cl ** 3 / max(R ** 3 - rmin ** 3, 1e-300)
-        f_cov = 0.75 * N * r_cl ** 2 / max(R ** 2 + R * rmin + rmin ** 2,
-                                           1e-300)
+    # --- radial shape profiles of clump radius / density / number
+    # (profile_factor, clump_mod.f90:200-260; profile file :554-640)
+    prof_table = None
+    if par.clump_profile_file.strip():
+        prof_table = np.loadtxt(par.clump_profile_file, ndmin=2)
 
-    # bulk velocities (clump_sigma_v), normalized by clump vtherm
-    if par.clump_sigma_v > 0:
-        v = rng.normal(0.0, par.clump_sigma_v, (N, 3)) / vth
+    def shape(name, rr_, alpha, r0, col):
+        nm = (name or 'constant').strip().lower()
+        if nm == 'constant':
+            return np.ones_like(rr_)
+        if nm in ('powerlaw', 'power_law'):
+            r_floor = 1e-3 * R
+            return (np.maximum(rr_, r_floor)
+                    / max(r0 if r0 > 0 else R, r_floor)) ** (-alpha)
+        if nm == 'file':
+            if prof_table is None:
+                raise ValueError('clump_profile_file required for '
+                                 'profile "file"')
+            return np.interp(rr_, prof_table[:, 0], prof_table[:, col])
+        raise ValueError(f'unknown clump profile {name!r}')
+
+    num_uniform = (par.clump_number_profile or 'constant').strip().lower() \
+        == 'constant'
+
+    if par.clump_input_file.strip():
+        # population from file (read_clumps_info, clump_mod.f90:2000-2315)
+        pop = load_clumps(par.clump_input_file)
+        pos = pop['pos']
+        N = len(pos)
+        radius = pop.get('radius')
+        radius = np.asarray(radius) if radius is not None \
+            else np.full(N, r_cl)
+        v = pop.get('vel')
+        v = np.asarray(v) / vth if v is not None else np.zeros((N, 3))
+        rho_i = pop.get('rhokap')
+        if rho_i is None:
+            rho_i = par.clump_tau0 / (H0 * radius) if par.clump_tau0 > 0 \
+                else np.full(N, rhokap_ref)
+        rng = np.random.default_rng(seed)
     else:
-        v = np.zeros((N, 3))
+        # --- RSA placement (generate_clumps); cKDTree neighbor rejection
+        rng = np.random.default_rng(seed)
+        r_hi = R - r_cl if par.clump_fully_inside else R
+        r_lo = rmin + r_cl if (rmin > 0 and par.clump_fully_inside) else rmin
+        pos = np.zeros((N, 3))
+        placed = 0
+        from scipy.spatial import cKDTree
+        batch = max(4 * N, 1024)
+        max_tries = 200
+        # number-profile rejection envelope over [r_lo, r_hi]
+        if not num_uniform:
+            rgrid = np.linspace(max(r_lo, 1e-6 * R), r_hi, 512)
+            fnum = shape(par.clump_number_profile, rgrid,
+                         par.clump_number_alpha, par.clump_number_r0, 4)
+            fnum_max = fnum.max()
+        for _ in range(max_tries):
+            if placed >= N:
+                break
+            u = rng.random((batch, 3))
+            rr = (r_lo ** 3 + u[:, 0] * (r_hi ** 3 - r_lo ** 3)) ** (1 / 3)
+            if not num_uniform:
+                fn = shape(par.clump_number_profile, rr,
+                           par.clump_number_alpha, par.clump_number_r0, 4)
+                keep = rng.random(batch) * fnum_max < fn
+                rr = rr[keep]
+                u = u[keep]
+                if rr.size == 0:
+                    continue
+            ct = 2 * u[:, 1] - 1
+            st = np.sqrt(np.maximum(1 - ct * ct, 0))
+            ph = 2 * np.pi * u[:, 2]
+            cand = np.stack([rr * st * np.cos(ph), rr * st * np.sin(ph),
+                             rr * ct], axis=1)
+            if par.clump_allow_overlap:
+                take = cand[:N - placed]
+                pos[placed:placed + len(take)] = take
+                placed += len(take)
+            else:
+                for c in cand:
+                    if placed >= N:
+                        break
+                    if placed == 0:
+                        pos[0] = c
+                        placed = 1
+                        continue
+                    tree = None
+                    # incremental check against placed clumps via KDTree
+                    # (rebuild every 512 insertions to amortize)
+                    if placed % 512 == 1 or tree is None:
+                        tree = cKDTree(pos[:placed])
+                    d, _ = tree.query(c, k=1)
+                    if d >= 2 * r_cl:
+                        pos[placed] = c
+                        placed += 1
+        if placed < N:
+            N = placed
+            pos = pos[:N]
+
+        # per-clump radius from the radius profile (clamped)
+        rcen = np.sqrt((pos ** 2).sum(axis=1))
+        radius = r_cl * shape(par.clump_radius_profile, rcen,
+                              par.clump_radius_alpha, par.clump_radius_r0, 1)
+        if par.clump_radius_min > 0:
+            radius = np.maximum(radius, par.clump_radius_min)
+        if par.clump_radius_max_in > 0:
+            radius = np.minimum(radius, par.clump_radius_max_in)
+
+        # per-clump opacity: tau0/NHI are per-clump invariants (rhokap ~
+        # 1/radius); nH-based opacity is radius-independent
+        dens_fac = shape(par.clump_density_profile, rcen,
+                         par.clump_density_alpha, par.clump_density_r0, 2)
+        if par.clump_tau0 > 0 or par.clump_NHI > 0:
+            rho_i = rhokap_ref * (r_cl / radius) * dens_fac
+        else:
+            rho_i = rhokap_ref * dens_fac
+
+        # bulk velocities (clump_sigma_v), normalized by clump vtherm
+        if par.clump_sigma_v > 0:
+            v = rng.normal(0.0, par.clump_sigma_v, (N, 3)) / vth
+        else:
+            v = np.zeros((N, 3))
+
+    rho_i = np.broadcast_to(np.asarray(rho_i, np.float64), (N,)).copy()
+    f_vol = np.sum(radius ** 3) / max(R ** 3 - rmin ** 3, 1e-300)
+    f_cov = 0.75 * np.sum(radius ** 2) \
+        / max(R ** 2 + R * rmin + rmin ** 2, 1e-300)
 
     # --- CSR acceleration grid (build_clump_csr, clump_mod.f90:1267-1388):
     # uniform cells over the bounding cube, cell size ~ clump diameter
-    cg_n = int(np.clip(math.floor(2 * R / (2 * r_cl)), 4, 192))
+    r_max_cl = float(radius.max())
+    cg_n = int(np.clip(math.floor(2 * R / (2 * r_max_cl)), 4, 192))
     cg_dx = 2 * R / cg_n
     lists = [[] for _ in range(cg_n ** 3)]
     for icl in range(N):
-        lo = np.clip(np.floor((pos[icl] - r_cl + R) / cg_dx).astype(int),
+        rc = radius[icl]
+        lo = np.clip(np.floor((pos[icl] - rc + R) / cg_dx).astype(int),
                      0, cg_n - 1)
-        hi = np.clip(np.floor((pos[icl] + r_cl + R) / cg_dx).astype(int),
+        hi = np.clip(np.floor((pos[icl] + rc + R) / cg_dx).astype(int),
                      0, cg_n - 1)
         for i in range(lo[0], hi[0] + 1):
             for j in range(lo[1], hi[1] + 1):
@@ -176,8 +257,7 @@ def build_clumps(cfg: ResolvedConfig, seed: int = 1234):
     rhokapD = None
     if par.DGR > 0:
         # matches the Cartesian rhokapD/rhokap ratio (clump_mod.f90:862-864)
-        rhokapD = np.full(N, rhokap_ref * par.cext_dust * par.DGR
-                          * Dfreq_cl / line.cross0)
+        rhokapD = rho_i * par.cext_dust * par.DGR * Dfreq_cl / line.cross0
 
     # GridMeta reused: the bounding cube is the "grid"; nx=1 etc unused
     from ..constants import SPEEDC
@@ -214,9 +294,74 @@ def build_clumps(cfg: ResolvedConfig, seed: int = 1234):
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     dev = ClumpDevice(
         x=f32(pos[:, 0]), y=f32(pos[:, 1]), z=f32(pos[:, 2]),
-        r2=f32(np.full(N, r_cl * r_cl)), radius=f32(np.full(N, r_cl)),
-        rhokap=f32(np.full(N, rhokap_ref)),
+        r2=f32(radius * radius), radius=f32(radius),
+        rhokap=f32(rho_i),
         rhokapD=f32(rhokapD) if rhokapD is not None else None,
         vx=f32(v[:, 0]), vy=f32(v[:, 1]), vz=f32(v[:, 2]),
         table=jnp.asarray(table))
     return meta, cmeta, dev
+
+
+def save_clumps(path: str, pos, radius, rhokap=None, vel=None, T=None,
+                sphere_R: float = 0.0, rmin: float = 0.0,
+                attrs: dict = None) -> str:
+    """Save a clump population (write_clumps_info, reference
+    src/clump_mod.f90:1779-1990: X/Y/Z/VX/VY/VZ table + optional
+    RADIUS/RHOKAP/TEMP_CL columns and population keywords)."""
+    import h5py
+    pos = np.asarray(pos, np.float64)
+    with h5py.File(path, 'w') as f:
+        g = f.create_group('CLUMPS')
+        g.create_dataset('X', data=pos[:, 0].astype(np.float32))
+        g.create_dataset('Y', data=pos[:, 1].astype(np.float32))
+        g.create_dataset('Z', data=pos[:, 2].astype(np.float32))
+        if vel is not None:
+            vel = np.asarray(vel, np.float64)
+            g.create_dataset('VX', data=vel[:, 0].astype(np.float32))
+            g.create_dataset('VY', data=vel[:, 1].astype(np.float32))
+            g.create_dataset('VZ', data=vel[:, 2].astype(np.float32))
+        radius = np.asarray(radius, np.float64)
+        if np.ptp(radius) > 1e-3 * radius.mean():
+            g.create_dataset('RADIUS', data=radius.astype(np.float32))
+        g.attrs['RCL'] = float(radius.mean())
+        if rhokap is not None:
+            rhokap = np.asarray(rhokap, np.float64)
+            if np.ptp(rhokap) > 1e-3 * abs(rhokap.mean()):
+                g.create_dataset('RHOKAP', data=rhokap.astype(np.float32))
+            g.attrs['RHOKAP'] = float(rhokap.mean())
+        if T is not None:
+            g.attrs['TEMP_CL'] = float(np.mean(T))
+        g.attrs['N_CLUMPS'] = len(pos)
+        g.attrs['SPHERE_R'] = float(sphere_R)
+        g.attrs['R_MIN'] = float(rmin)
+        for k, val in (attrs or {}).items():
+            g.attrs[k] = val
+    return path
+
+
+def load_clumps(path: str) -> dict:
+    """Load a clump population file written by save_clumps (or converted
+    from the reference's FITS clump tables)."""
+    import h5py
+    out = {}
+    with h5py.File(path, 'r') as f:
+        g = f['CLUMPS'] if 'CLUMPS' in f else f
+        x = np.asarray(g['X'], np.float64)
+        y = np.asarray(g['Y'], np.float64)
+        z = np.asarray(g['Z'], np.float64)
+        out['pos'] = np.stack([x, y, z], axis=1)
+        if 'VX' in g:
+            out['vel'] = np.stack([np.asarray(g['VX'], np.float64),
+                                   np.asarray(g['VY'], np.float64),
+                                   np.asarray(g['VZ'], np.float64)], axis=1)
+        n = len(x)
+        if 'RADIUS' in g:
+            out['radius'] = np.asarray(g['RADIUS'], np.float64)
+        elif 'RCL' in g.attrs:
+            out['radius'] = np.full(n, float(g.attrs['RCL']))
+        if 'RHOKAP' in g:
+            out['rhokap'] = np.asarray(g['RHOKAP'], np.float64)
+        elif 'RHOKAP' in g.attrs:
+            out['rhokap'] = np.full(n, float(g.attrs['RHOKAP']))
+        out['attrs'] = dict(g.attrs)
+    return out

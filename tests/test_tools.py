@@ -1,0 +1,232 @@
+"""Standalone CLI tools (reference Makefile:200-240 targets)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+
+def _frec(fh, payload: bytes):
+    fh.write(struct.pack('<i', len(payload)))
+    fh.write(payload)
+    fh.write(struct.pack('<i', len(payload)))
+
+
+def _frec_i(fh, *vals):
+    _frec(fh, np.asarray(vals, np.int32).tobytes())
+
+
+def _frec_d(fh, arr):
+    _frec(fh, np.asarray(arr, np.float64).tobytes())
+
+
+def _write_synthetic_ramses(repo, snap=1):
+    """Tiny 1-cpu RAMSES v3 snapshot: one level-1 oct (8 cells), one cell
+    refined to level 2 (8 sub-cells) -> 7 + 8 = 15 leaves."""
+    out = os.path.join(repo, f'output_{snap:05d}')
+    os.makedirs(out, exist_ok=True)
+    ncpu, ndim, nlevelmax, nboundary = 1, 3, 2, 0
+    boxlen = 1.0
+    with open(os.path.join(out, f'info_{snap:05d}.txt'), 'w') as fh:
+        fh.write(f'ncpu        =  {ncpu}\n'
+                 f'ndim        =  {ndim}\n'
+                 f'levelmin    =  1\n'
+                 f'levelmax    =  {nlevelmax}\n'
+                 f'boxlen      =  {boxlen:.15E}\n'
+                 f'unit_l      =  {3.0857e21:.15E}\n'
+                 f'unit_d      =  {1.66e-24:.15E}\n'
+                 f'unit_t      =  {3.0857e16:.15E}\n')
+
+    # grids: level 1: one oct centered at (0.5,0.5,0.5); its cell ind=0
+    # (the -x,-y,-z octant) is refined -> level-2 oct at (0.25,0.25,0.25)
+    with open(os.path.join(out, f'amr_{snap:05d}.out{1:05d}'), 'wb') as fh:
+        _frec_i(fh, ncpu)
+        _frec_i(fh, ndim)
+        _frec_i(fh, 1, 1, 1)              # nx, ny, nz
+        _frec_i(fh, nlevelmax)
+        _frec_i(fh, 10)                   # ngridmax
+        _frec_i(fh, nboundary)
+        _frec_i(fh, 2)                    # ngrid_current
+        _frec_d(fh, [boxlen])
+        # bookkeeping records the converter skips by scanning for headl
+        _frec_i(fh, 1, 1, 1)              # nout block
+        _frec_d(fh, [0.0])                # tout
+        _frec_d(fh, [0.0])                # aout
+        _frec_d(fh, [0.0])                # t
+        _frec_d(fh, np.zeros(nlevelmax))  # dtold
+        _frec_d(fh, np.zeros(nlevelmax))  # dtnew
+        _frec_i(fh, 0, 0)                 # nstep
+        _frec_d(fh, [0.0, 0.0, 0.0, 0.0])  # const block
+        _frec_d(fh, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])  # cosmo
+        _frec_d(fh, [0.0, 0.0, 0.0, 0.0])  # timing
+        _frec_d(fh, [0.0])                # mass_sph
+        _frec_i(fh, 1, 2)                 # headl (nlevelmax*ncpu ints)
+        _frec_i(fh, 1, 1)                 # numbl
+        _frec(fh, np.zeros(10, np.int32).tobytes())   # numbtot
+        _frec_i(fh, 0)                    # free memory
+        _frec_i(fh, 0)                    # used memory / headf
+        _frec(fh, b'none' + b' ' * 60)    # ordering string (<=128 bytes)
+        _frec_d(fh, [0.0, 1.0])           # bound keys
+        _frec_i(fh, 0)                    # coarse son
+        _frec_i(fh, 0)                    # coarse flag1
+        _frec_i(fh, 1)                    # coarse cpu_map
+
+        # --- level 1, cpu 1: one oct
+        _frec_i(fh, 1)                    # grid index
+        _frec_i(fh, 0)                    # next
+        _frec_i(fh, 0)                    # prev
+        _frec_d(fh, [0.5])                # xg x
+        _frec_d(fh, [0.5])                # xg y
+        _frec_d(fh, [0.5])                # xg z
+        _frec_i(fh, 0)                    # father
+        for _ in range(2 * ndim):         # nbor
+            _frec_i(fh, 0)
+        # son: cell 0 refined (points to grid 2), others leaves
+        for ind in range(8):
+            _frec_i(fh, 2 if ind == 0 else 0)
+        for _ in range(8):                # cpu_map
+            _frec_i(fh, 1)
+        for _ in range(8):                # flag1
+            _frec_i(fh, 0)
+
+        # --- level 2, cpu 1: one oct
+        _frec_i(fh, 2)
+        _frec_i(fh, 0)
+        _frec_i(fh, 0)
+        _frec_d(fh, [0.25])
+        _frec_d(fh, [0.25])
+        _frec_d(fh, [0.25])
+        _frec_i(fh, 1)
+        for _ in range(2 * ndim):
+            _frec_i(fh, 0)
+        for ind in range(8):
+            _frec_i(fh, 0)                # all leaves
+        for _ in range(8):
+            _frec_i(fh, 1)
+        for _ in range(8):
+            _frec_i(fh, 0)
+
+    nvar = 6
+    with open(os.path.join(out, f'hydro_{snap:05d}.out{1:05d}'), 'wb') as fh:
+        _frec_i(fh, ncpu)
+        _frec_i(fh, nvar)
+        _frec_i(fh, ndim)
+        _frec_i(fh, nlevelmax)
+        _frec_i(fh, nboundary)
+        _frec_d(fh, [1.4])                # gamma
+        for ilevel, ng in ((1, 1), (2, 1)):
+            _frec_i(fh, ilevel)
+            _frec_i(fh, ng)
+            for ind in range(8):
+                for ivar in range(nvar):
+                    val = {0: 1.0 + ilevel, 1: 0.1, 2: 0.2, 3: 0.3,
+                           4: 0.6, 5: 0.02}[ivar]
+                    _frec_d(fh, [val])
+    return out
+
+
+def test_convert_ramses_roundtrip(tmp_path):
+    repo = str(tmp_path)
+    _write_synthetic_ramses(repo, snap=1)
+    from lart_tpu.tools.convert_ramses_to_generic import convert
+    data = convert(repo, 1, unit='kpc', compute_physics=True)
+    # 7 level-1 leaves + 8 level-2 leaves
+    assert len(data['x']) == 15
+    assert (data['level'] == 1).sum() == 7
+    assert (data['level'] == 2).sum() == 8
+    # box is centered: level-1 cell centers at +-boxlen/4, level-2 centers
+    # inside the refined (-,-,-) octant
+    L = data['boxlen']
+    l1 = data['level'] == 1
+    assert np.allclose(np.abs(data['x'][l1]), L / 4, rtol=1e-6)
+    assert np.all(data['x'][~l1] < 0)
+    assert data['x'].min() >= -L / 2 and data['x'].max() <= L / 2
+    # density: rho_code * unit_d * XH / mp
+    nH1 = 2.0 * 1.66e-24 * 0.76 / 1.6726219e-24
+    assert np.allclose(np.unique(np.round(data['nH'], 6)),
+                       np.round([nH1, nH1 * 1.5], 6))
+    # physics columns present
+    for col in ('xHI', 'n_e', 'emissivity', 'ndust'):
+        assert col in data
+    # velocities in km/s: 0.1 * unit_l/unit_t/1e5 = 0.1 km/s
+    assert np.allclose(data['vx'], 0.1, rtol=1e-6)
+
+    # and the generic file round-trips through the AMR grid builder
+    from lart_tpu.grid.amr import write_generic_amr, read_generic_amr
+    fn = str(tmp_path / 'gen.h5')
+    write_generic_amr(fn, data)
+    back = read_generic_amr(fn)
+    assert len(back['x']) == 15
+    assert abs(back['boxlen'] - data['boxlen']) < 1e-9
+
+
+def test_make_amr_sphere_radial_cli(tmp_path):
+    from lart_tpu.tools.make_amr_sphere_radial import main
+    out = str(tmp_path / 'sph.h5')
+    assert main([out, '--n-base', '8', '--levels', '1',
+                 '--alpha', '1.0']) == 0
+    from lart_tpu.grid.amr import read_generic_amr
+    d = read_generic_amr(out)
+    assert len(d['x']) > 500
+    r = np.sqrt(d['x'] ** 2 + d['y'] ** 2 + d['z'] ** 2)
+    inside = (r < 0.9) & (r > 0.2) & (d['nH'] > 0)
+    # nH ~ 1/r within the sphere
+    assert np.corrcoef(np.log(r[inside]), np.log(d['nH'][inside]))[0, 1] \
+        < -0.98
+
+
+def test_make_clumps_cli_roundtrip(tmp_path):
+    from lart_tpu.tools.make_clumps import main
+    out = str(tmp_path / 'cl.h5')
+    assert main([out, '--f-vol', '0.03', '--radius', '0.1',
+                 '--tau0', '2.0']) == 0
+    from lart_tpu.grid.clump import load_clumps
+    pop = load_clumps(out)
+    assert len(pop['pos']) > 5
+    assert pop['radius'].min() > 0
+    # population loads back into a transport-ready device grid
+    from lart_tpu.config import Params
+    from lart_tpu.grid.clump import build_clumps
+    par = Params(use_clump_medium=True, geometry='sphere', rmax=1.0,
+                 xmax=1, ymax=1, zmax=1, clump_input_file=out,
+                 xfreq_min=-20.0, xfreq_max=20.0)
+    meta, cmeta, dev = build_clumps(par.resolve())
+    assert cmeta.n_clumps == len(pop['pos'])
+
+
+def test_convert_illustris_synthetic(tmp_path):
+    """Synthetic TNG-style cutout: uniform gas ball -> adaptive octree with
+    NN-assigned physics."""
+    import h5py
+    fn = str(tmp_path / 'cutout.h5')
+    rng = np.random.default_rng(0)
+    n = 4000
+    pos = rng.normal(0, 3.0, (n, 3)) + 50.0       # ckpc/h around (50,50,50)
+    with h5py.File(fn, 'w') as f:
+        h = f.create_group('Header')
+        h.attrs['HubbleParam'] = 1.0
+        h.attrs['Time'] = 1.0
+        g = f.create_group('PartType0')
+        g.create_dataset('Coordinates', data=pos)
+        g.create_dataset('Density', data=np.full(n, 1e-9))  # 1e10Msun/h per (ckpc/h)^3 units
+        g.create_dataset('Velocities', data=np.full((n, 3), 7.0))
+        g.create_dataset('InternalEnergy', data=np.full(n, 129.0))
+        g.create_dataset('ElectronAbundance', data=np.full(n, 1.0))
+        g.create_dataset('NeutralHydrogenAbundance', data=np.full(n, 0.5))
+        g.create_dataset('GFM_Metallicity', data=np.full(n, 0.01))
+        g.create_dataset('StarFormationRate', data=np.zeros(n))
+    from lart_tpu.tools.convert_illustris_to_generic import convert
+    data = convert(fn, nmax=32, max_level=8)
+    assert len(data['x']) > 500
+    assert np.all(data['T'] > 0)
+    assert np.allclose(data['vx'], 7.0)
+    assert np.allclose(data['xHI'], 0.5)
+    # the resampled grid feeds the AMR builder
+    from lart_tpu.config import Params
+    from lart_tpu.grid.amr import build_amr
+    par = Params(use_amr_grid=True, nphotons=10, temperature=1e4,
+                 xfreq_min=-10.0, xfreq_max=10.0, distance_unit='kpc',
+                 distance2cm=3.0857e21)
+    r = build_amr(par.resolve(), data=data)
+    assert r.meta.grid_type == 'amr'
