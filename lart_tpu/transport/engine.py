@@ -527,8 +527,11 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
 
         def body(carry):
             s, rec, n = carry
-            rec, (J1_c, Pn_c), (esc_b2_r, esc_wall_r), ab2 = rec
-            ab2_ix_r, ab2_w_r = ab2
+            rec, (J1_c, Pn_c), b2c, ab2 = rec
+            if lt8:
+                esc_b2_r, esc_wall_r = b2c
+            if meta.atmosphere:
+                ab2_ix_r, ab2_w_r = ab2
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
                  esc_mu_r, ffs_mu_r) = rec
@@ -775,8 +778,9 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
                 (esc_mu_r, ffs_mu_r) if save_Jmu else ())
-            return s2, (rec2, (J1_c, Pn_c), (esc_b2_r, esc_wall_r),
-                        (ab2_ix_r, ab2_w_r)), n + 1
+            ab2_out = (ab2_ix_r, ab2_w_r) if meta.atmosphere else ab2
+            b2_out = (esc_b2_r, esc_wall_r) if lt8 else b2c
+            return s2, (rec2, (J1_c, Pn_c), b2_out, ab2_out), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
@@ -788,13 +792,18 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
             else jnp.zeros((1,), jnp.float32)
         Pn_0 = tallies.Pnew if tallies.Pnew is not None \
             else jnp.zeros((1,), jnp.float32)
-        b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
-        ab2_0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+        b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32)) \
+            if lt8 else ()
+        ab2_0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32)) \
+            if meta.atmosphere else ()
         state, rec_jpa, _ = jax.lax.while_loop(
             cond, body,
             (state, (rec0, (J1_0, Pn_0), b2_0, ab2_0), jnp.int32(0)))
-        rec, (J1_f, Pn_f), (esc_b2, esc_wall), (ab2_ix, ab2_w) = rec_jpa
-        if tallies.Jabs2 is not None:
+        rec, (J1_f, Pn_f), b2_f, ab2_f = rec_jpa
+        if lt8:
+            esc_b2, esc_wall = b2_f
+        if tallies.Jabs2 is not None and meta.atmosphere:
+            ab2_ix, ab2_w = ab2_f
             tallies = tallies._replace(
                 Jabs2=tallies.Jabs2.at[ab2_ix].add(ab2_w))
         if tallies.J1 is not None:
@@ -856,8 +865,11 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
 
         def body(carry):
             s, rec, n = carry
-            rec, (J1_c, Pn_c), (esc_b2_r, esc_wall_r), ab2 = rec
-            ab2_ix_r, ab2_w_r = ab2
+            rec, (J1_c, Pn_c), b2c, ab2 = rec
+            if lt8:
+                esc_b2_r, esc_wall_r = b2c
+            if meta.atmosphere:
+                ab2_ix_r, ab2_w_r = ab2
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
                  esc_mu_r, ffs_mu_r) = rec
@@ -1051,8 +1063,9 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
                 (esc_mu_r, ffs_mu_r) if save_Jmu else ())
-            return s2, (rec2, (J1_c, Pn_c), (esc_b2_r, esc_wall_r),
-                        (ab2_ix_r, ab2_w_r)), n + 1
+            ab2_out = (ab2_ix_r, ab2_w_r) if meta.atmosphere else ab2
+            b2_out = (esc_b2_r, esc_wall_r) if lt8 else b2c
+            return s2, (rec2, (J1_c, Pn_c), b2_out, ab2_out), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
@@ -1064,13 +1077,18 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             else jnp.zeros((1,), jnp.float32)
         Pn_0 = tallies.Pnew if tallies.Pnew is not None \
             else jnp.zeros((1,), jnp.float32)
-        b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
-        ab2_0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+        b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32)) \
+            if lt8 else ()
+        ab2_0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32)) \
+            if meta.atmosphere else ()
         state, rec_jpa, _ = jax.lax.while_loop(
             cond, body,
             (state, (rec0, (J1_0, Pn_0), b2_0, ab2_0), jnp.int32(0)))
-        rec, (J1_f, Pn_f), (esc_b2, esc_wall), (ab2_ix, ab2_w) = rec_jpa
-        if tallies.Jabs2 is not None:
+        rec, (J1_f, Pn_f), b2_f, ab2_f = rec_jpa
+        if lt8:
+            esc_b2, esc_wall = b2_f
+        if tallies.Jabs2 is not None and meta.atmosphere:
+            ab2_ix, ab2_w = ab2_f
             tallies = tallies._replace(
                 Jabs2=tallies.Jabs2.at[ab2_ix].add(ab2_w))
         if tallies.J1 is not None:
