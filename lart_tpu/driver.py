@@ -116,6 +116,14 @@ def run(par: Params, *, seed: Optional[int] = None,
                                                'point_illumination'):
         acc['flux_factor'] = 0.0
         acc['nrejected'] = 0.0
+    if par.save_all_photons:
+        if n_dev > 1:
+            raise ValueError('save_all_photons currently requires a '
+                             'single-device run (global photon ids)')
+        if meta.grid_type != 'cartesian':
+            raise ValueError('save_all_photons is only supported on '
+                             'Cartesian grids')
+        acc['allph'] = {}
     if cfg.line.line_type == 8:
         acc['Jout_Ha'] = np.zeros(meta.nxfreq, np.float64)
         acc['Jabs_Ha'] = np.zeros(meta.nxfreq, np.float64)
@@ -160,6 +168,13 @@ def run(par: Params, *, seed: Optional[int] = None,
         if 'flux_factor' in acc:
             acc['flux_factor'] += float(tl.flux_factor)
             acc['nrejected'] += float(tl.nrejected)
+        if 'allph' in acc and tl.allph is not None:
+            for k in tl.allph._fields:
+                v = getattr(tl.allph, k)
+                if v is None:
+                    continue
+                acc['allph'][k] = acc['allph'].get(k, 0.0) \
+                    + np.asarray(v, np.float64)
         if cfg.line.line_type == 8:
             acc['Jout_Ha'] += np.asarray(tl.Jout_Ha, np.float64)
             acc['Jabs_Ha'] += np.asarray(tl.Jabs_Ha, np.float64)

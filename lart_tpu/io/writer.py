@@ -178,6 +178,12 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
                 gp.create_dataset('radius', data=res.r_JPa)
             _put_attrs(gp, {'EXTNAME': ext,
                             'geom_JPa': res.meta.geometry_JPa})
+        if res.allph:
+            # all-photons table (write_output_rect.f90:1353-1483)
+            ga = f.create_group('AllPhotons')
+            for nm, arr in res.allph.items():
+                ga.create_dataset(nm, data=np.asarray(arr, np.float32))
+            _put_attrs(ga, {'EXTNAME': 'AllPhotons'})
         if res.Jmu is not None:
             gm = f.create_group('Jmu')
             gm.create_dataset('data', data=res.Jmu.astype(bp))

@@ -56,6 +56,7 @@ class RunResult:
     r_JPa: Optional[np.ndarray] = None     # bin-center coordinate
     Jabs2: object = None                   # exoplanet molecular-zone losses
     flux_factor: float = 0.0               # transit flux factor
+    allph: Optional[dict] = None           # per-photon table (save_all_photons)
     # sight-line tau/column maps: list per observer of dicts
     # {'tau_gas','N_gas','tau_dust'} (make_sightline_tau)
     sightline: Optional[list] = None
@@ -222,6 +223,7 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
         exetime_s=exetime_s, peel=peel, obs_meta=obs_meta, Jmu=Jmu,
         Jabs2=Jabs2, flux_factor=flux_factor,
         nrejected=raw.get('nrejected', 0.0),
+        allph=raw.get('allph'),
         J1=J1, Pa=Pa, Pnew=Pnew, r_JPa=r_JPa,
         Jout_Ha=(raw['Jout_Ha'] / denom if 'Jout_Ha' in raw else None),
         Jabs_Ha=(raw['Jabs_Ha'] / denom if 'Jabs_Ha' in raw else None),

@@ -91,6 +91,11 @@ class BatchState(NamedTuple):
     # accumulated shear-frame y-velocity offset (photon%vfy_shear,
     # define.f90:100; updated on periodic x-wraps in the shearing box)
     vfy_shear: jnp.ndarray
+    # all-photons bookkeeping (save_all_photons; all_photons_type,
+    # define.f90:602-613): global photon id + per-photon scatter counters
+    pid: jnp.ndarray
+    nsg: jnp.ndarray
+    nsd: jnp.ndarray
     # photon band (ly_beta line_type 8): 1 = resonance, 2 = H-alpha
     iband: jnp.ndarray
     # scalar bookkeeping
@@ -123,6 +128,80 @@ class Tallies(NamedTuple):
     Pa: object = None           # (nbin,) scattering rate per atom (calcP)
     Pnew: object = None         # (nbin,) tau-weighted rate (calcPnew)
     peel: object = None         # PeelCubes or None
+    allph: object = None        # AllPhotons per-photon table or None
+
+
+class AllPhotons(NamedTuple):
+    """Per-photon output table (all_photons_type, define.f90:602-613);
+    each pid is written exactly once (at birth for rp0/xfreq1, at death for
+    the rest), so psum/host-addition across shards and chunks is exact."""
+    rp0: jnp.ndarray
+    rp: jnp.ndarray
+    xfreq1: jnp.ndarray
+    xfreq2: jnp.ndarray
+    nscatt_gas: jnp.ndarray
+    nscatt_dust: jnp.ndarray
+    I: object = None
+    Q: object = None
+    U: object = None
+    V: object = None
+
+
+def zero_allph(nphotons: int, stokes: bool) -> AllPhotons:
+    z = lambda: jnp.zeros((nphotons,), jnp.float32)
+    return AllPhotons(rp0=z(), rp=z(), xfreq1=z(), xfreq2=z(),
+                      nscatt_gas=z(), nscatt_dust=z(),
+                      I=z() if stokes else None, Q=z() if stokes else None,
+                      U=z() if stokes else None, V=z() if stokes else None)
+
+
+def impact_parameter(par, x, y, z, kx, ky, kz):
+    """Perpendicular distance of the (escape) ray from the origin, after
+    advancing to the rmax sphere if outside it (make_all_photons,
+    run_simulation_mod.f90:294-331)."""
+    if par.rmax > 0.0:
+        rr = x * x + y * y + z * z
+        rk = x * kx + y * ky + z * kz
+        det = rk * rk - (rr - par.rmax ** 2)
+        dist = jnp.where(jnp.logical_and(rr > par.rmax ** 2, det >= 0.0),
+                         -rk + jnp.sqrt(jnp.maximum(det, 0.0)), 0.0)
+        x = x + dist * kx
+        y = y + dist * ky
+        z = z + dist * kz
+    rk = x * kx + y * ky + z * kz
+    mx = x - rk * kx
+    my = y - rk * ky
+    mz = z - rk * kz
+    return jnp.sqrt(mx * mx + my * my + mz * mz), (mx, my, mz)
+
+
+def allph_record_death(par, allph: AllPhotons, s, mask, xfreq_lab):
+    """Write the death row for masked lanes (each pid dies once)."""
+    n = allph.rp.shape[0]
+    idx = jnp.where(jnp.logical_and(mask, s.pid >= 0), s.pid, n)
+    mm, (mx, my, mz) = impact_parameter(par, s.x, s.y, s.z,
+                                        s.kx, s.ky, s.kz)
+    out = allph._replace(
+        rp=allph.rp.at[idx].set(mm, mode='drop'),
+        xfreq2=allph.xfreq2.at[idx].set(xfreq_lab, mode='drop'),
+        nscatt_gas=allph.nscatt_gas.at[idx].set(s.nsg, mode='drop'),
+        nscatt_dust=allph.nscatt_dust.at[idx].set(s.nsd, mode='drop'))
+    if allph.I is not None:
+        mmi = 1.0 / jnp.maximum(mm, 1e-30)
+        cosp = jnp.where(mm > 0, (mx * s.mx + my * s.my + mz * s.mz) * mmi,
+                         1.0)
+        sinp = jnp.where(mm > 0, (mx * s.nnx + my * s.nny + mz * s.nnz)
+                         * mmi, 0.0)
+        cos2p = 2.0 * cosp * cosp - 1.0
+        sin2p = 2.0 * sinp * cosp
+        out = out._replace(
+            I=out.I.at[idx].set(s.wgt, mode='drop'),
+            Q=out.Q.at[idx].set((cos2p * s.Q + sin2p * s.U) * s.wgt,
+                                mode='drop'),
+            U=out.U.at[idx].set((-sin2p * s.Q + cos2p * s.U) * s.wgt,
+                                mode='drop'),
+            V=out.V.at[idx].set(s.V * s.wgt, mode='drop'))
+    return out
 
 
 def init_state(batch: int) -> BatchState:
@@ -136,6 +215,7 @@ def init_state(batch: int) -> BatchState:
                       Q=zf, U=zf, V=zf, mx=zf + 1.0, my=zf, mz=zf,
                       nnx=zf, nny=zf + 1.0, nnz=zf,
                       vfy_shear=zf,
+                      pid=zi - 1, nsg=zf, nsd=zf,
                       iband=zi + 1,
                       n_launched=jnp.zeros((1,), jnp.int32))
 
@@ -143,9 +223,9 @@ def init_state(batch: int) -> BatchState:
 def zero_tallies(nxfreq: int, peel=None, nmu: int = 0,
                  nbin_JPa: int = 0, calcJ=False, calcP=False,
                  calcPnew=False, lyb=False, atmosphere=False,
-                 illumination=False) -> Tallies:
+                 illumination=False, allph=None) -> Tallies:
     z = jnp.zeros((nxfreq,), jnp.float32)
-    return Tallies(Jin=z, Jout=z, Jabs=z,
+    return Tallies(Jin=z, Jout=z, Jabs=z, allph=allph,
                    Jabs2=z if atmosphere else None,
                    flux_factor=jnp.float32(0.0) if illumination else None,
                    nrejected=jnp.float32(0.0) if illumination else None,
@@ -502,6 +582,7 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
         return rho, rhoH
 
     save_Jmu = par.save_Jmu
+    save_allph = par.save_all_photons
     mu_min = 0.0 if par.xyz_symmetry else -1.0
     dmu = (1.0 - mu_min) / par.nmu
 
@@ -527,7 +608,9 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
 
         def body(carry):
             s, rec, n = carry
-            rec, (J1_c, Pn_c), b2c, ab2 = rec
+            rec, (J1_c, Pn_c), b2c, ab2, apr = rec
+            if save_allph:
+                ap_died_r, ap_xf2_r = apr
             if lt8:
                 esc_b2_r, esc_wall_r = b2c
             if meta.atmosphere:
@@ -780,7 +863,16 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                 (esc_mu_r, ffs_mu_r) if save_Jmu else ())
             ab2_out = (ab2_ix_r, ab2_w_r) if meta.atmosphere else ab2
             b2_out = (esc_b2_r, esc_wall_r) if lt8 else b2c
-            return s2, (rec2, (J1_c, Pn_c), b2_out, ab2_out), n + 1
+            if save_allph:
+                newly_dead = jnp.logical_or(dead_now, ffs_vacuum)
+                if meta.atmosphere:
+                    newly_dead = jnp.logical_or(newly_dead, mask_fly)
+                ap_died_r = jnp.logical_or(ap_died_r, newly_dead)
+                ap_xf2_r = jnp.where(
+                    newly_dead, jnp.where(ffs_vacuum, xfreq_lab_b,
+                                          xfreq_lab), ap_xf2_r)
+                apr = (ap_died_r, ap_xf2_r)
+            return s2, (rec2, (J1_c, Pn_c), b2_out, ab2_out, apr), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
@@ -796,10 +888,16 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
             if lt8 else ()
         ab2_0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32)) \
             if meta.atmosphere else ()
+        ap_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32)) \
+            if save_allph else ()
         state, rec_jpa, _ = jax.lax.while_loop(
             cond, body,
-            (state, (rec0, (J1_0, Pn_0), b2_0, ab2_0), jnp.int32(0)))
-        rec, (J1_f, Pn_f), b2_f, ab2_f = rec_jpa
+            (state, (rec0, (J1_0, Pn_0), b2_0, ab2_0, ap_0), jnp.int32(0)))
+        rec, (J1_f, Pn_f), b2_f, ab2_f, ap_f = rec_jpa
+        if save_allph and tallies.allph is not None:
+            ap_died, ap_xf2 = ap_f
+            tallies = tallies._replace(allph=allph_record_death(
+                par, tallies.allph, state, ap_died, ap_xf2))
         if lt8:
             esc_b2, esc_wall = b2_f
         if tallies.Jabs2 is not None and meta.atmosphere:
@@ -1721,6 +1819,17 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             return out
 
         dead_now = jnp.logical_or(absorbed, h2_destroy)
+        if par.save_all_photons and t.allph is not None:
+            # absorbed photons get their death row here (escapes are
+            # recorded in fly); xfreq2 is the lab-frame frequency
+            D_here = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
+            u_here = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                       s.kx, s.ky, s.kz)
+            xlab = (s.xfreq + u_here) * (D_here / meta.Dfreq_ref)
+            t = t._replace(allph=allph_record_death(
+                par, t.allph, s._replace(nsg=s.nsg + do_res,
+                                         nsd=s.nsd + dust_sc),
+                dead_now, xlab))
         s2 = s._replace(
             phase=jnp.where(dead_now, DEAD,
                             jnp.where(done, FLYING, s.phase)),
@@ -1732,6 +1841,8 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             tau_target=jnp.where(done, tau_next, s.tau_target),
             tau_run=jnp.where(done, 0.0, s.tau_run),
         )
+        if par.save_all_photons:
+            s2 = s2._replace(nsg=s.nsg + do_res, nsd=s.nsd + dust_sc)
         if h2 is not None:
             s2 = s2._replace(
                 kx=jnp.where(h2_sc, kxh, s2.kx),
@@ -2117,8 +2228,22 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             bxfreq=w(xfreq, s.bxfreq),
             bkx=w(kx, s.bkx), bky=w(ky, s.bky), bkz=w(kz, s.bkz),
             vfy_shear=w(jnp.zeros(shape, jnp.float32), s.vfy_shear),
+            pid=w(s.n_launched[0] + rank, s.pid)
+            if par.save_all_photons else s.pid,
+            nsg=w(jnp.zeros(shape, jnp.float32), s.nsg),
+            nsd=w(jnp.zeros(shape, jnp.float32), s.nsd),
             iband=w(jnp.ones(shape, jnp.int32), s.iband),
             n_launched=s.n_launched + n_new)
+        if par.save_all_photons and t.allph is not None:
+            # birth rows (make_all_initial_photons,
+            # run_simulation_mod.f90:244-292)
+            npa = t.allph.rp0.shape[0]
+            pid_new = s2.pid
+            idxb = jnp.where(launch, pid_new, npa)
+            mm0, _ = impact_parameter(par, x, y, z, kx, ky, kz)
+            t = t._replace(allph=t.allph._replace(
+                rp0=t.allph.rp0.at[idxb].set(mm0, mode='drop'),
+                xfreq1=t.allph.xfreq1.at[idxb].set(xfreq, mode='drop')))
         if ff is not None and t.flux_factor is not None:
             # transit bookkeeping (photon%flux_factor accumulation,
             # run_simulation_mod.f90:117,194; nrejected of ALL candidate
@@ -2242,7 +2367,10 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
                                atmosphere=meta.atmosphere > 0,
                                illumination=cfg.par.source_geometry.strip()
                                .lower() in ('stellar_illumination',
-                                            'point_illumination'))
+                                            'point_illumination'),
+                               allph=zero_allph(cfg.par.nphotons,
+                                                cfg.par.use_stokes)
+                               if cfg.par.save_all_photons else None)
 
         def body(i, carry):
             st, tl = carry
