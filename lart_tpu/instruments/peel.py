@@ -52,7 +52,8 @@ def zero_cubes(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta
                      U=z if st else None, V=z if st else None)
 
 
-def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
+def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
+              cmeta=None):
     """Build the peel kernels. All returned fns operate on full (B,) batches
     with an `active` mask and deposit into PeelCubes."""
     par, line = cfg.par, cfg.line
@@ -68,10 +69,101 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
     h2 = h2_setup(cfg)
 
     # ------------------------------------------------------------------
+    # clump medium: chord-overlap tau along a fixed direction
+    # (raytrace_to_edge_clump[_capped/_overlap], raytrace_clump.f90:
+    # 205-337, 792-1130): per CSR cell, tau is the exact sum of
+    # per-candidate ray-sphere chord overlaps at the GLOBAL frequency with
+    # per-clump u_los shifts -- exact for overlapping and non-overlapping
+    # populations alike
+    # ------------------------------------------------------------------
+    def tau_to_edge_clump(grid, x, y, z, kx, ky, kz, xfreq, active,
+                          max_steps, cap=None):
+        from ..transport.engine import _leaf_gather
+        R = meta.xmax
+        cg_n, cg_dx, K = cmeta.cg_n, cmeta.cg_dx, cmeta.K
+        EPS = jnp.float32(1e-6 * R)
+
+        def cond(c):
+            (x, y, z, tau, trav, live), n = c
+            return jnp.logical_and(n < max_steps, jnp.any(live))
+
+        def body(c):
+            (x, y, z, tau, trav, live), n = c
+            ci = jnp.clip(jnp.floor((x + R) / cg_dx).astype(jnp.int32),
+                          0, cg_n - 1)
+            cj = jnp.clip(jnp.floor((y + R) / cg_dx).astype(jnp.int32),
+                          0, cg_n - 1)
+            ck = jnp.clip(jnp.floor((z + R) / cg_dx).astype(jnp.int32),
+                          0, cg_n - 1)
+            cell = (ci * cg_n + cj) * cg_n + ck
+
+            def fd(pos, k, idx):
+                up = k > 0.0
+                face = -R + jnp.where(up, idx + 1, idx
+                                      ).astype(jnp.float32) * cg_dx
+                t = (face - pos) / jnp.where(jnp.abs(k) < 1e-12,
+                                             jnp.float32(1.0), k)
+                return jnp.where(jnp.abs(k) < 1e-12, BIG,
+                                 jnp.maximum(t, 0.0))
+            t_end = jnp.minimum(jnp.minimum(fd(x, kx, ci), fd(y, ky, cj)),
+                                fd(z, kz, ck)) + EPS
+            if cap is not None:
+                dleft = jnp.maximum(cap - trav, 0.0)
+                hit_cap = t_end >= dleft
+                t_end = jnp.minimum(t_end, dleft)
+            else:
+                hit_cap = jnp.zeros_like(live)
+            dtau = jnp.zeros_like(x)
+            for q in range(K):
+                cand = jnp.take(grid.table.reshape(-1), cell * K + q,
+                                mode='clip')
+                ok = cand >= 0
+                qx = _leaf_gather(grid.x, cand, 0.0)
+                qy = _leaf_gather(grid.y, cand, 0.0)
+                qz = _leaf_gather(grid.z, cand, 0.0)
+                qr2 = _leaf_gather(grid.r2, cand, 0.0)
+                ex, ey, ez = x - qx, y - qy, z - qz
+                eb = ex * kx + ey * ky + ez * kz
+                ec = ex * ex + ey * ey + ez * ez - qr2
+                edet = eb * eb - ec
+                sq = jnp.sqrt(jnp.maximum(edet, 0.0))
+                t0 = jnp.clip(-eb - sq, 0.0, t_end)
+                t1 = jnp.clip(-eb + sq, 0.0, t_end)
+                u_q = (_leaf_gather(grid.vx, cand, 0.0) * kx
+                       + _leaf_gather(grid.vy, cand, 0.0) * ky
+                       + _leaf_gather(grid.vz, cand, 0.0) * kz) \
+                    if not meta.static_medium else 0.0
+                kq = _leaf_gather(grid.rhokap, cand, 0.0) \
+                    * line_profile(cfg, xfreq - u_q,
+                                   jnp.float32(meta.voigt_a_ref),
+                                   jnp.float32(meta.Dfreq_ref))
+                if meta.has_dust:
+                    kq = kq + _leaf_gather(grid.rhokapD, cand, 0.0)
+                kq = jnp.where(jnp.logical_and(ok, edet > 0.0), kq, 0.0)
+                dtau = dtau + kq * (t1 - t0)
+            tau_n = jnp.where(live, tau + dtau, tau)
+            xn = jnp.where(live, x + t_end * kx, x)
+            yn = jnp.where(live, y + t_end * ky, y)
+            zn = jnp.where(live, z + t_end * kz, z)
+            trav_n = jnp.where(live, trav + t_end, trav)
+            out = jnp.logical_or(jnp.logical_or(jnp.abs(xn) >= R,
+                                                jnp.abs(yn) >= R),
+                                 jnp.abs(zn) >= R)
+            live = jnp.logical_and(live, ~out)
+            live = jnp.logical_and(live, ~hit_cap)
+            live = jnp.logical_and(live, tau_n < TAU_HUGE)
+            return (xn, yn, zn, tau_n, trav_n, live), n + 1
+
+        carry = ((x, y, z, jnp.zeros_like(x), jnp.zeros_like(x), active),
+                 jnp.int32(0))
+        (out, _) = jax.lax.while_loop(cond, body, carry)
+        return out[3]
+
+    # ------------------------------------------------------------------
     # tau to the grid edge along a fixed direction (per (nobs, B) lane)
     # ------------------------------------------------------------------
-    def tau_to_edge(grid, x, y, z, ic, jc, kc, kx, ky, kz, xfreq, active,
-                    max_steps, cap=None):
+    def tau_to_edge_cart(grid, x, y, z, ic, jc, kc, kx, ky, kz, xfreq,
+                         active, max_steps, cap=None):
         """Lockstep DDA accumulating optical depth to the boundary; respects
         the same periodic/reflect boundary ops as the transport raytrace
         (raytrace_to_edge_* family).  With `cap` (per-lane distance), the
@@ -245,7 +337,15 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
         (out, _) = jax.lax.while_loop(cond, body, carry)
         return out[10]   # tau
 
-    max_steps = 2 * (nx + ny + nz) + 8
+    if meta.grid_type == 'clump':
+        def tau_to_edge(grid, x, y, z, ic, jc, kc, kx, ky, kz, xfreq,
+                        active, max_steps, cap=None):
+            return tau_to_edge_clump(grid, x, y, z, kx, ky, kz, xfreq,
+                                     active, max_steps, cap=cap)
+        max_steps = 3 * cmeta.cg_n + 8
+    else:
+        tau_to_edge = tau_to_edge_cart
+        max_steps = 2 * (nx + ny + nz) + 8
 
     # ------------------------------------------------------------------
     # geometry helpers (per observer o, batch arrays)

@@ -26,9 +26,12 @@ RAD2DEG = 180.0 / math.pi
 BIG = jnp.float32(3.0e38)
 
 
-def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta):
+def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
+                   cmeta=None):
     """Returns sightline(grid, odev, iobs) -> dict of maps."""
     par = cfg.par
+    if meta.grid_type == 'clump':
+        return _make_sightline_clump(cfg, meta, obs, cmeta)
     from ..transport.engine import (cell_Dfreq, cell_rhokap, cell_rhokapD,
                                     cell_velocity_dot, cell_voigt_a,
                                     line_profile)
@@ -255,3 +258,145 @@ def write_sightline_tau(filename: str, maps: Dict, cfg, meta, obs) -> str:
         f['tau_gas'].attrs['Xfreq1'] = meta.xfreq_min
         f['tau_gas'].attrs['Xfreq2'] = meta.xfreq_max
     return filename
+
+
+def _make_sightline_clump(cfg, meta, obs, cmeta):
+    """Clump-medium sight-line maps (make_sightline_tau_clump,
+    reference src/sightline_tau_clump.f90:33-): per pixel, chord-overlap
+    integrals across the CSR grid for tau_gas(nu), N_gas and tau_dust."""
+    import math as _m
+    from ..transport.engine import _leaf_gather, line_profile
+    par = cfg.par
+    R = meta.xmax
+    cg_n, cg_dx, K = cmeta.cg_n, cmeta.cg_dx, cmeta.K
+    max_steps = 3 * cg_n + 8
+    RAD2DEG_ = 180.0 / _m.pi
+
+    def integrate(grid, x, y, z, kx, ky, kz, xfreq, mode):
+        def cond(c):
+            (x, y, z, acc, live), n = c
+            return jnp.logical_and(n < max_steps, jnp.any(live))
+
+        def body(c):
+            (x, y, z, acc, live), n = c
+            ci = jnp.clip(jnp.floor((x + R) / cg_dx).astype(jnp.int32),
+                          0, cg_n - 1)
+            cj = jnp.clip(jnp.floor((y + R) / cg_dx).astype(jnp.int32),
+                          0, cg_n - 1)
+            ck = jnp.clip(jnp.floor((z + R) / cg_dx).astype(jnp.int32),
+                          0, cg_n - 1)
+            cell = (ci * cg_n + cj) * cg_n + ck
+
+            def fd(pos, k, idx):
+                up = k > 0.0
+                face = -R + jnp.where(up, idx + 1, idx
+                                      ).astype(jnp.float32) * cg_dx
+                t = (face - pos) / jnp.where(jnp.abs(k) < 1e-12,
+                                             jnp.float32(1.0), k)
+                return jnp.where(jnp.abs(k) < 1e-12, BIG,
+                                 jnp.maximum(t, 0.0))
+            t_end = jnp.minimum(jnp.minimum(fd(x, kx, ci), fd(y, ky, cj)),
+                                fd(z, kz, ck)) + jnp.float32(1e-6 * R)
+            add = jnp.zeros_like(x)
+            for q in range(K):
+                cand = jnp.take(grid.table.reshape(-1), cell * K + q,
+                                mode='clip')
+                ok = cand >= 0
+                qx = _leaf_gather(grid.x, cand, 0.0)
+                qy = _leaf_gather(grid.y, cand, 0.0)
+                qz = _leaf_gather(grid.z, cand, 0.0)
+                qr2 = _leaf_gather(grid.r2, cand, 0.0)
+                ex, ey, ez = x - qx, y - qy, z - qz
+                eb = ex * kx + ey * ky + ez * kz
+                edet = eb * eb - (ex * ex + ey * ey + ez * ez - qr2)
+                sq = jnp.sqrt(jnp.maximum(edet, 0.0))
+                t0 = jnp.clip(-eb - sq, 0.0, t_end)
+                t1 = jnp.clip(-eb + sq, 0.0, t_end)
+                if mode == 0:
+                    u_q = (_leaf_gather(grid.vx, cand, 0.0) * kx
+                           + _leaf_gather(grid.vy, cand, 0.0) * ky
+                           + _leaf_gather(grid.vz, cand, 0.0) * kz) \
+                        if not meta.static_medium else 0.0
+                    kq = _leaf_gather(grid.rhokap, cand, 0.0) \
+                        * line_profile(cfg, xfreq - u_q,
+                                       jnp.float32(meta.voigt_a_ref),
+                                       jnp.float32(meta.Dfreq_ref))
+                elif mode == 1:
+                    kq = _leaf_gather(grid.rhokap, cand, 0.0) \
+                        * jnp.float32(meta.Dfreq_ref / cfg.line.cross0)
+                else:
+                    kq = _leaf_gather(grid.rhokapD, cand, 0.0) \
+                        if meta.has_dust else jnp.zeros_like(x)
+                kq = jnp.where(jnp.logical_and(ok, edet > 0.0), kq, 0.0)
+                add = add + kq * (t1 - t0)
+            acc = jnp.where(live, acc + add, acc)
+            xn = jnp.where(live, x + t_end * kx, x)
+            yn = jnp.where(live, y + t_end * ky, y)
+            zn = jnp.where(live, z + t_end * kz, z)
+            out = jnp.logical_or(jnp.logical_or(jnp.abs(xn) >= R,
+                                                jnp.abs(yn) >= R),
+                                 jnp.abs(zn) >= R)
+            live = jnp.logical_and(live, ~out)
+            return (xn, yn, zn, acc, live), n + 1
+
+        live0 = jnp.ones_like(x, bool)
+        carry = ((x, y, z, jnp.zeros_like(x), live0), jnp.int32(0))
+        (out, _) = jax.lax.while_loop(cond, body, carry)
+        return out[3]
+
+    def ray_origins(odev, iobs):
+        R_ = np.asarray(odev.rmat[iobs])
+        pos = np.asarray(odev.pos[iobs])
+        ii, jj = np.meshgrid(np.arange(obs.nxim), np.arange(obs.nyim),
+                             indexing='ij')
+        ang_x = (ii + 0.5 - obs.nxim / 2.0) * obs.dxim / RAD2DEG_
+        ang_y = (jj + 0.5 - obs.nyim / 2.0) * obs.dyim / RAD2DEG_
+        kx_o = -np.tan(ang_x)
+        ky_o = -np.tan(ang_y)
+        kz_o = -np.ones_like(kx_o)
+        nrm = np.sqrt(kx_o ** 2 + ky_o ** 2 + kz_o ** 2)
+        kobs = np.stack([kx_o / nrm, ky_o / nrm, kz_o / nrm])
+        k = np.einsum('ji,jkl->ikl', R_, kobs).reshape(3, -1)
+        o = pos[:, None] * np.ones_like(k)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            t_lo = (np.array([-R, -R, -R])[:, None] - o) / k
+            t_hi = (np.array([R, R, R])[:, None] - o) / k
+        t_near = np.minimum(t_lo, t_hi)
+        t_far = np.maximum(t_lo, t_hi)
+        t0 = np.nanmax(np.where(np.isfinite(t_near), t_near, -np.inf), axis=0)
+        t1 = np.nanmin(np.where(np.isfinite(t_far), t_far, np.inf), axis=0)
+        hit = (t1 > t0) & (t0 > 0)
+        start = o + (t0 + 1e-6 * R)[None, :] * k
+        return start, k, hit
+
+    def sightline(grid, odev, iobs: int = 0):
+        start, k, hit = ray_origins(odev, iobs)
+        npix = start.shape[1]
+        x = jnp.asarray(start[0], jnp.float32)
+        y = jnp.asarray(start[1], jnp.float32)
+        z = jnp.asarray(start[2], jnp.float32)
+        kx = jnp.asarray(k[0], jnp.float32)
+        ky = jnp.asarray(k[1], jnp.float32)
+        kz = jnp.asarray(k[2], jnp.float32)
+        N_gas = integrate(grid, x, y, z, kx, ky, kz,
+                          jnp.zeros_like(x), mode=1)
+        tau_dust = integrate(grid, x, y, z, kx, ky, kz,
+                             jnp.zeros_like(x), mode=2)
+        xf_axis = meta.xfreq_min + (np.arange(meta.nxfreq) + 0.5) \
+            * meta.dxfreq
+        f = jax.jit(lambda xf0: integrate(grid, x, y, z, kx, ky, kz,
+                                          xf0, mode=0))
+        taus = [np.asarray(f(jnp.full((npix,), float(xf_axis[i]),
+                                      jnp.float32)))
+                for i in range(meta.nxfreq)]
+        hitm = np.asarray(hit).reshape(obs.nxim, obs.nyim)
+        tau_gas = np.stack(taus).reshape(meta.nxfreq, obs.nxim, obs.nyim)
+        return {
+            'tau_gas': np.where(hitm[None], tau_gas, 0.0),
+            'N_gas': np.where(hitm, np.asarray(N_gas).reshape(
+                obs.nxim, obs.nyim), 0.0),
+            'tau_dust': np.where(hitm, np.asarray(tau_dust).reshape(
+                obs.nxim, obs.nyim), 0.0),
+        }
+
+    return sightline

@@ -2343,7 +2343,8 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
     shards.  obs_meta/odev enable the peeling instruments."""
     if obs_meta is not None:
         from ..instruments import peel as peel_mod
-        p_direct, p_res, p_dust = peel_mod.make_peel(cfg, meta, obs_meta)
+        p_direct, p_res, p_dust = peel_mod.make_peel(cfg, meta, obs_meta,
+                                                     cmeta=cmeta)
         peel_zero = lambda: peel_mod.zero_cubes(cfg, meta, obs_meta)
     else:
         p_direct = p_res = p_dust = None
