@@ -218,7 +218,7 @@ def run(par: Params, *, seed: Optional[int] = None,
     # sight-line tau / column maps (make_sightline_tau,
     # sightline_tau_rect.f90:11-340 / sightline_tau_heal.f90:12-146)
     if par.save_sightline_tau and obs_meta is not None \
-            and meta.grid_type in ('cartesian', 'clump'):
+            and meta.grid_type in ('cartesian', 'clump', 'amr'):
         from .instruments.sightline import make_sightline
         sl = make_sightline(cfg, meta, obs_meta, cmeta=cmeta)
         res.sightline = [sl(grid, odev, i) for i in range(obs_meta.nobs)]

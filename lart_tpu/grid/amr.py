@@ -247,6 +247,55 @@ def build_amr(cfg: ResolvedConfig, data: Optional[dict] = None
         par.rmax = half
     par.xmax, par.ymax, par.zmax = (tree.box[1], tree.box[3], tree.box[5])
 
+    # --- analytic velocity-model override (assign_amr_velocities_from_type,
+    # grid_mod_amr.f90:1134-1230): replaces file velocities per leaf
+    vtype = par.velocity_type.strip().lower()
+    if vtype:
+        lc = tree.icell_of_leaf
+        cxl = tree.cx[lc]
+        cyl = tree.cy[lc]
+        czl = tree.cz[lc]
+        chl = tree.ch[lc]
+        rr = np.sqrt(cxl ** 2 + cyl ** 2 + czl ** 2)
+        rmax_eff = par.rmax if par.rmax > 0 else boxlen / 2.0
+        # velocities here are in km/s; the device build divides by the
+        # local vtherm below
+        if vtype == 'hubble':
+            vx = par.Vexp * cxl / rmax_eff
+            vy = par.Vexp * cyl / rmax_eff
+            vz = par.Vexp * czl / rmax_eff
+        elif vtype == 'constant_radial':
+            ok = rr > chl * 0.1
+            with np.errstate(invalid='ignore', divide='ignore'):
+                fac = np.where(ok, par.Vexp / np.maximum(rr, 1e-300), 0.0)
+            vx, vy, vz = fac * cxl, fac * cyl, fac * czl
+        elif vtype == 'parallel_velocity':
+            vx = np.full(nleaf, par.Vx)
+            vy = np.full(nleaf, par.Vy)
+            vz = np.full(nleaf, par.Vz)
+        elif vtype == 'ssh':
+            inner = rr < par.rpeak
+            with np.errstate(invalid='ignore', divide='ignore'):
+                Vs = np.where(
+                    inner, par.Vpeak / max(par.rpeak, 1e-300),
+                    (par.Vpeak + par.DeltaV * (rr - par.rpeak)
+                     / max(rmax_eff - par.rpeak, 1e-300))
+                    / np.maximum(rr, 1e-300))
+            vx, vy, vz = Vs * cxl, Vs * cyl, Vs * czl
+        elif vtype in ('rotating_solid_body', 'rotating_galaxy_halo'):
+            rr2 = np.sqrt(cxl ** 2 + cyl ** 2)
+            if vtype == 'rotating_solid_body':
+                denom = np.full(nleaf, rmax_eff)
+            else:
+                rin = max(par.rinner, 1e-300)
+                denom = np.where(rr2 < par.rinner, rin,
+                                 np.maximum(rr2, 1e-300))
+            vx = -par.Vrot * cyl / denom
+            vy = par.Vrot * cxl / denom
+            vz = np.zeros(nleaf)
+        else:
+            raise ValueError(f'unknown velocity_type: {par.velocity_type!r}')
+
     uniform_T = bool(np.all(T == T[0])) and not par.bturb > 0
     static = bool(np.all(vx == 0) and np.all(vy == 0) and np.all(vz == 0))
 

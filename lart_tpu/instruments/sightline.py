@@ -32,6 +32,8 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
     par = cfg.par
     if meta.grid_type == 'clump':
         return _make_sightline_clump(cfg, meta, obs, cmeta)
+    if meta.grid_type == 'amr':
+        return _make_sightline_amr(cfg, meta, obs)
     from ..transport.engine import (cell_Dfreq, cell_rhokap, cell_rhokapD,
                                     cell_velocity_dot, cell_voigt_a,
                                     line_profile)
@@ -389,6 +391,155 @@ def _make_sightline_clump(cfg, meta, obs, cmeta):
         taus = [np.asarray(f(jnp.full((npix,), float(xf_axis[i]),
                                       jnp.float32)))
                 for i in range(meta.nxfreq)]
+        hitm = np.asarray(hit).reshape(obs.nxim, obs.nyim)
+        tau_gas = np.stack(taus).reshape(meta.nxfreq, obs.nxim, obs.nyim)
+        return {
+            'tau_gas': np.where(hitm[None], tau_gas, 0.0),
+            'N_gas': np.where(hitm, np.asarray(N_gas).reshape(
+                obs.nxim, obs.nyim), 0.0),
+            'tau_dust': np.where(hitm, np.asarray(tau_dust).reshape(
+                obs.nxim, obs.nyim), 0.0),
+        }
+
+    return sightline
+
+
+def _make_sightline_amr(cfg, meta, obs):
+    """AMR sight-line maps (make_sightline_tau_outside_amr,
+    reference src/sightline_tau_rect.f90:192-): neighbor-table octree walk
+    accumulating tau_gas(nu)/N_gas/tau_dust per pixel ray."""
+    import math as _m
+    from ..transport.engine import (amr_descend_from_face, amr_find_cell,
+                                    cell_Dfreq, cell_rhokap, cell_rhokapD,
+                                    cell_velocity_dot, cell_voigt_a,
+                                    line_profile)
+    par = cfg.par
+    RAD2DEG_ = 180.0 / _m.pi
+    max_steps = 8 * (2 ** meta.levelmax) + 16
+
+    def integrate(grid, x, y, z, kx, ky, kz, xfreq, mode):
+        ic = amr_find_cell(grid, meta, x, y, z)
+
+        def cond(c):
+            (x, y, z, ic, xf, tau, live), n = c
+            return jnp.logical_and(n < max_steps, jnp.any(live))
+
+        def body(c):
+            (x, y, z, ic, xf, tau, live), n = c
+            D_cell = cell_Dfreq(grid, meta, ic, 0, 0)
+            if mode == 0:
+                a_cell = cell_voigt_a(grid, meta, ic, 0, 0)
+                rho = cell_rhokap(grid, meta, ic, 0, 0) \
+                    * line_profile(cfg, xf, a_cell, D_cell)
+            elif mode == 1:
+                rho = (cell_rhokap(grid, meta, ic, 0, 0) * D_cell
+                       / cfg.line.cross0)
+            else:
+                rho = cell_rhokapD(grid, meta, ic, 0, 0) \
+                    if meta.has_dust else jnp.zeros_like(x)
+
+            ccx = jnp.take(grid.node_cx, ic, mode='clip')
+            ccy = jnp.take(grid.node_cy, ic, mode='clip')
+            ccz = jnp.take(grid.node_cz, ic, mode='clip')
+            hh = jnp.take(grid.node_ch, ic, mode='clip')
+
+            def axis_t(pos, k, c0):
+                fc = c0 + jnp.where(k > 0, hh, -hh)
+                t = (fc - pos) / jnp.where(jnp.abs(k) < 1e-12,
+                                           jnp.float32(1.0), k)
+                return jnp.where(jnp.abs(k) < 1e-12, BIG,
+                                 jnp.maximum(t, 0.0))
+
+            tx = axis_t(x, kx, ccx)
+            ty = axis_t(y, ky, ccy)
+            tz = axis_t(z, kz, ccz)
+            dmin = jnp.minimum(jnp.minimum(tx, ty), tz)
+            axis = jnp.where(dmin == tx, 0, jnp.where(dmin == ty, 1, 2))
+            tau_n = jnp.where(live, tau + dmin * rho, tau)
+            kax = jnp.where(axis == 0, kx, jnp.where(axis == 1, ky, kz))
+            face = axis * 2 + jnp.where(kax > 0, 0, 1)
+            xn = jnp.where(live, x + dmin * kx, x)
+            yn = jnp.where(live, y + dmin * ky, y)
+            zn = jnp.where(live, z + dmin * kz, z)
+            nb = jnp.take(grid.neighbor.reshape(-1),
+                          jnp.maximum(ic, 0) * 6 + face, mode='clip')
+            esc = jnp.logical_and(live, nb < 0)
+            icn = amr_descend_from_face(grid, meta, jnp.maximum(nb, 0),
+                                        face, xn, yn, zn)
+            icn = jnp.where(jnp.logical_and(live, ~esc), icn, ic)
+            if mode == 0 and (not meta.static_medium
+                              or not meta.uniform_temperature):
+                u1 = cell_velocity_dot(grid, meta, ic, 0, 0, kx, ky, kz)
+                u2 = cell_velocity_dot(grid, meta, icn, 0, 0, kx, ky, kz)
+                D2 = cell_Dfreq(grid, meta, icn, 0, 0)
+                xf = jnp.where(jnp.logical_and(live, ~esc),
+                               (xf + u1) * D_cell / D2 - u2, xf)
+            live = jnp.logical_and(live, ~esc)
+            return (xn, yn, zn, icn, xf, tau_n, live), n + 1
+
+        live0 = jnp.ones_like(x, bool)
+        carry = ((x, y, z, ic, xfreq, jnp.zeros_like(x), live0),
+                 jnp.int32(0))
+        (out, _) = jax.lax.while_loop(cond, body, carry)
+        return out[5]
+
+    xmn, ymn, zmn = meta.xmin, meta.ymin, meta.zmin
+    xmx, ymx, zmx = meta.xmax, meta.ymax, meta.zmax
+
+    def ray_origins(odev, iobs):
+        R_ = np.asarray(odev.rmat[iobs])
+        pos = np.asarray(odev.pos[iobs])
+        ii, jj = np.meshgrid(np.arange(obs.nxim), np.arange(obs.nyim),
+                             indexing='ij')
+        ang_x = (ii + 0.5 - obs.nxim / 2.0) * obs.dxim / RAD2DEG_
+        ang_y = (jj + 0.5 - obs.nyim / 2.0) * obs.dyim / RAD2DEG_
+        kx_o = -np.tan(ang_x)
+        ky_o = -np.tan(ang_y)
+        kz_o = -np.ones_like(kx_o)
+        nrm = np.sqrt(kx_o ** 2 + ky_o ** 2 + kz_o ** 2)
+        kobs = np.stack([kx_o / nrm, ky_o / nrm, kz_o / nrm])
+        k = np.einsum('ji,jkl->ikl', R_, kobs).reshape(3, -1)
+        o = pos[:, None] * np.ones_like(k)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            t_lo = (np.array([xmn, ymn, zmn])[:, None] - o) / k
+            t_hi = (np.array([xmx, ymx, zmx])[:, None] - o) / k
+        t_near = np.minimum(t_lo, t_hi)
+        t_far = np.maximum(t_lo, t_hi)
+        t0 = np.nanmax(np.where(np.isfinite(t_near), t_near, -np.inf), axis=0)
+        t1 = np.nanmin(np.where(np.isfinite(t_far), t_far, np.inf), axis=0)
+        hit = (t1 > t0) & (t0 > 0)
+        start = o + (t0 + 1e-6 * (xmx - xmn))[None, :] * k
+        return start, k, hit
+
+    def sightline(grid, odev, iobs: int = 0):
+        start, k, hit = ray_origins(odev, iobs)
+        npix = start.shape[1]
+        x = jnp.asarray(start[0], jnp.float32)
+        y = jnp.asarray(start[1], jnp.float32)
+        z = jnp.asarray(start[2], jnp.float32)
+        kx = jnp.asarray(k[0], jnp.float32)
+        ky = jnp.asarray(k[1], jnp.float32)
+        kz = jnp.asarray(k[2], jnp.float32)
+        N_gas = integrate(grid, x, y, z, kx, ky, kz,
+                          jnp.zeros_like(x), mode=1)
+        tau_dust = integrate(grid, x, y, z, kx, ky, kz,
+                             jnp.zeros_like(x), mode=2)
+        xf_axis = meta.xfreq_min + (np.arange(meta.nxfreq) + 0.5) \
+            * meta.dxfreq
+        f = jax.jit(lambda xf0: integrate(grid, x, y, z, kx, ky, kz,
+                                          xf0, mode=0))
+        taus = []
+        for ixf in range(meta.nxfreq):
+            xf0 = jnp.full((npix,), float(xf_axis[ixf]), jnp.float32)
+            if not meta.static_medium or not meta.uniform_temperature:
+                from ..transport.engine import (amr_find_cell as _fc,
+                                                cell_Dfreq as _cD,
+                                                cell_velocity_dot as _cv)
+                ic0 = _fc(grid, meta, x, y, z)
+                D1 = _cD(grid, meta, ic0, 0, 0)
+                u1 = _cv(grid, meta, ic0, 0, 0, kx, ky, kz)
+                xf0 = xf0 * (meta.Dfreq_ref / D1) - u1
+            taus.append(np.asarray(f(xf0)))
         hitm = np.asarray(hit).reshape(obs.nxim, obs.nyim)
         tau_gas = np.stack(taus).reshape(meta.nxfreq, obs.nxim, obs.nyim)
         return {

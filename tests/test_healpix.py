@@ -153,3 +153,40 @@ def test_inside_sightline_tau():
     H0 = float(voigt(jnp.float32(0.0), jnp.float32(meta.voigt_a_ref)))
     expect = 3.0 * H / H0
     assert abs(t.mean() - expect) / expect < 0.05
+
+
+def test_amr_sightline_parity_with_cartesian():
+    """Same uniform sphere as AMR and Cartesian: sight-line tau maps must
+    agree (the reference's own cross-grid regression style,
+    examples/sightline_tau)."""
+    from lart_tpu.grid.amr import build_amr, make_amr_sphere
+    from lart_tpu.grid.cartesian import build_cartesian
+    from lart_tpu.instruments.observer import build_observers
+    from lart_tpu.instruments.sightline import make_sightline
+    par_kw = dict(nphotons=10, temperature=1e4, tauhomo=2.0,
+                  nxfreq=5, xfreq_min=-3.0, xfreq_max=3.0,
+                  save_peeloff=True, nxim=9, nyim=9,
+                  alpha=(0.0,), beta=(30.0,), distance=50.0)
+    # Cartesian sphere
+    parc = Params(geometry='sphere', rmax=1.0, nx=65, ny=65, nz=65,
+                  xmax=1, ymax=1, zmax=1, **par_kw)
+    cfgc = parc.resolve()
+    metac, gridc = build_cartesian(cfgc)
+    obsc, odevc = build_observers(cfgc)
+    slc = make_sightline(cfgc, metac, obsc)
+    mc = slc(gridc, odevc, 0)
+    # AMR sphere (uniform, from the analytic generator)
+    para = Params(use_amr_grid=True, geometry='sphere', tauhomo=2.0,
+                  **{k: v for k, v in par_kw.items() if k != 'tauhomo'})
+    cfga = para.resolve()
+    data = make_amr_sphere(n_base=32, levels_extra=1, rmax=1.0)
+    ra = build_amr(cfga, data=data)
+    obsa, odeva = build_observers(para.resolve())
+    sla = make_sightline(cfga, ra.meta, obsa)
+    ma = sla(ra.dev, odeva, 0)
+    tc = mc['tau_gas'][2]
+    ta = ma['tau_gas'][2]
+    sel = (tc > 0.2) & (ta > 0.2)
+    assert sel.sum() > 20
+    rel = np.abs(ta[sel] - tc[sel]) / tc[sel]
+    assert np.median(rel) < 0.05, np.median(rel)
