@@ -102,6 +102,10 @@ class GridMeta:
     # (q * Omega * Lx; raytrace_to_tau_car_xyper_shear,
     # raytrace_car.f90:2677-2954, grid_mod_car.f90:346-351)
     omega_shear: float = 0.0
+    # clump medium local Doppler constants (clump_temperature; voigt_clump,
+    # clump_mod.f90:130-168); 0 -> clumps share the reference temperature
+    Dfreq_cl: float = 0.0
+    voigt_a_cl: float = 0.0
 
     @property
     def xrange(self): return self.xmax - self.xmin

@@ -286,7 +286,8 @@ def build_clumps(cfg: ResolvedConfig, seed: int = 1234):
         taumax=float(taumax_d), tauhomo=float(taumax_d),
         taupole_dust=0.0, tauhomo_dust=0.0,
         N_gasmax=float(max(par.N_HImax, 0.0)), N_gashomo=0.0,
-        atau3=float(atau3), grid_type='clump')
+        atau3=float(atau3), grid_type='clump',
+        Dfreq_cl=float(Dfreq_cl), voigt_a_cl=float(voigt_a_cl))
 
     cmeta = ClumpMeta(n_clumps=N, cg_n=cg_n, cg_dx=float(cg_dx), K=K,
                       f_vol=float(f_vol), f_cov=float(f_cov),

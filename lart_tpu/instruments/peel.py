@@ -78,7 +78,10 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
     # ------------------------------------------------------------------
     def tau_to_edge_clump(grid, x, y, z, kx, ky, kz, xfreq, active,
                           max_steps, cap=None):
-        from ..transport.engine import _leaf_gather
+        from ..transport.engine import _leaf_gather, clump_xloc_ratio
+        r_loc = clump_xloc_ratio(meta)
+        a_loc = meta.voigt_a_cl if meta.Dfreq_cl > 0 else meta.voigt_a_ref
+        D_loc = meta.Dfreq_cl if meta.Dfreq_cl > 0 else meta.Dfreq_ref
         R = meta.xmax
         cg_n, cg_dx, K = cmeta.cg_n, cmeta.cg_dx, cmeta.K
         EPS = jnp.float32(1e-6 * R)
@@ -129,14 +132,13 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
                 sq = jnp.sqrt(jnp.maximum(edet, 0.0))
                 t0 = jnp.clip(-eb - sq, 0.0, t_end)
                 t1 = jnp.clip(-eb + sq, 0.0, t_end)
-                u_q = (_leaf_gather(grid.vx, cand, 0.0) * kx
-                       + _leaf_gather(grid.vy, cand, 0.0) * ky
-                       + _leaf_gather(grid.vz, cand, 0.0) * kz) \
-                    if not meta.static_medium else 0.0
+                u_q = ((_leaf_gather(grid.vx, cand, 0.0) * kx
+                        + _leaf_gather(grid.vy, cand, 0.0) * ky
+                        + _leaf_gather(grid.vz, cand, 0.0) * kz)
+                       / r_loc) if not meta.static_medium else 0.0
                 kq = _leaf_gather(grid.rhokap, cand, 0.0) \
-                    * line_profile(cfg, xfreq - u_q,
-                                   jnp.float32(meta.voigt_a_ref),
-                                   jnp.float32(meta.Dfreq_ref))
+                    * line_profile(cfg, (xfreq - u_q) * r_loc,
+                                   jnp.float32(a_loc), jnp.float32(D_loc))
                 if meta.has_dust:
                     kq = kq + _leaf_gather(grid.rhokapD, cand, 0.0)
                 kq = jnp.where(jnp.logical_and(ok, edet > 0.0), kq, 0.0)

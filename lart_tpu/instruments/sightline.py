@@ -267,8 +267,12 @@ def _make_sightline_clump(cfg, meta, obs, cmeta):
     reference src/sightline_tau_clump.f90:33-): per pixel, chord-overlap
     integrals across the CSR grid for tau_gas(nu), N_gas and tau_dust."""
     import math as _m
-    from ..transport.engine import _leaf_gather, line_profile
+    from ..transport.engine import (_leaf_gather, clump_xloc_ratio,
+                                    line_profile)
     par = cfg.par
+    r_loc = clump_xloc_ratio(meta)
+    a_loc = meta.voigt_a_cl if meta.Dfreq_cl > 0 else meta.voigt_a_ref
+    D_loc = meta.Dfreq_cl if meta.Dfreq_cl > 0 else meta.Dfreq_ref
     R = meta.xmax
     cg_n, cg_dx, K = cmeta.cg_n, cmeta.cg_dx, cmeta.K
     max_steps = 3 * cg_n + 8
@@ -315,17 +319,17 @@ def _make_sightline_clump(cfg, meta, obs, cmeta):
                 t0 = jnp.clip(-eb - sq, 0.0, t_end)
                 t1 = jnp.clip(-eb + sq, 0.0, t_end)
                 if mode == 0:
-                    u_q = (_leaf_gather(grid.vx, cand, 0.0) * kx
-                           + _leaf_gather(grid.vy, cand, 0.0) * ky
-                           + _leaf_gather(grid.vz, cand, 0.0) * kz) \
-                        if not meta.static_medium else 0.0
+                    u_q = ((_leaf_gather(grid.vx, cand, 0.0) * kx
+                            + _leaf_gather(grid.vy, cand, 0.0) * ky
+                            + _leaf_gather(grid.vz, cand, 0.0) * kz)
+                           / r_loc) if not meta.static_medium else 0.0
                     kq = _leaf_gather(grid.rhokap, cand, 0.0) \
-                        * line_profile(cfg, xfreq - u_q,
-                                       jnp.float32(meta.voigt_a_ref),
-                                       jnp.float32(meta.Dfreq_ref))
+                        * line_profile(cfg, (xfreq - u_q) * r_loc,
+                                       jnp.float32(a_loc),
+                                       jnp.float32(D_loc))
                 elif mode == 1:
                     kq = _leaf_gather(grid.rhokap, cand, 0.0) \
-                        * jnp.float32(meta.Dfreq_ref / cfg.line.cross0)
+                        * jnp.float32(D_loc / cfg.line.cross0)
                 else:
                     kq = _leaf_gather(grid.rhokapD, cand, 0.0) \
                         if meta.has_dust else jnp.zeros_like(x)

@@ -54,8 +54,41 @@ def write_output(filename: str, res: RunResult, nproc: int = 1) -> str:
         nobs = res.obs_meta.nobs
         for k in range(nobs):
             suffix = '' if nobs == 1 else f'_{k+1:03d}'
-            write_output_peeling_3D(f'{base}{suffix}_peel3D{ext}', res, k)
+            if res.cfg.par.save_peeloff_3D:
+                write_output_peeling_3D(f'{base}{suffix}_peel3D{ext}',
+                                        res, k)
+            if res.cfg.par.save_peeloff_2D:
+                write_output_peeling_2D(f'{base}{suffix}_peel2D{ext}',
+                                        res, k)
     return out
+
+
+def write_output_peeling_2D(filename: str, res: RunResult, iobs: int) -> str:
+    """Frequency-integrated peel images (write_output_peeling_2D,
+    write_output_rect.f90:742-1000; HEALPix 2D maps,
+    observer_heal.f90:46-52)."""
+    par = res.cfg.par
+    meta = res.meta
+    obs = res.obs_meta
+    bin_unit = meta.dwave if par.intensity_unit == 1 else meta.dxfreq
+    bp = np.float32 if par.out_bitpix == -32 else np.float64
+    hk = {'nphotons': float(res.nphotons), 'I_unit': par.intensity_unit}
+    if getattr(obs, 'inside', False):
+        hk.update(PIXTYPE='HEALPIX', ORDERING='RING', NSIDE=obs.nside,
+                  NPIX=obs.npix)
+    with h5py.File(filename, 'w') as f:
+        for name, key in (('Scattered', 'scatt'), ('Direct', 'direc')):
+            img = res.peel[key][iobs].sum(axis=0) * bin_unit
+            g = f.create_group(name)
+            g.create_dataset('data', data=np.asarray(img, bp))
+            _put_attrs(g, dict(hk, EXTNAME=name))
+        if par.use_stokes and 'I' in res.peel:
+            for nm in ('I', 'Q', 'U', 'V'):
+                img = res.peel[nm][iobs].sum(axis=0) * bin_unit
+                g = f.create_group(f'Stokes_{nm}')
+                g.create_dataset('data', data=np.asarray(img, bp))
+                _put_attrs(g, dict(hk, EXTNAME=f'Stokes_{nm}'))
+    return filename
 
 
 def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:

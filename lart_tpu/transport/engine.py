@@ -271,8 +271,18 @@ def _leaf_gather(arr, il, default):
                      jnp.float32(default))
 
 
+def clump_xloc_ratio(meta: GridMeta):
+    """REF->clump Doppler-unit rescale (voigt_clump, clump_mod.f90:146)."""
+    if meta.grid_type == 'clump' and meta.Dfreq_cl > 0:
+        return meta.Dfreq_ref / meta.Dfreq_cl
+    return 1.0
+
+
 def cell_voigt_a(grid, meta: GridMeta, i, j, k):
-    if meta.grid_type == 'clump' or meta.uniform_temperature:
+    if meta.grid_type == 'clump':
+        return jnp.float32(meta.voigt_a_cl
+                           if meta.Dfreq_cl > 0 else meta.voigt_a_ref)
+    if meta.uniform_temperature:
         return jnp.float32(meta.voigt_a_ref)
     if meta.grid_type == 'amr':
         return _leaf_gather(grid.voigt_a, _leaf_of(grid, i),
@@ -281,7 +291,10 @@ def cell_voigt_a(grid, meta: GridMeta, i, j, k):
 
 
 def cell_Dfreq(grid, meta: GridMeta, i, j, k):
-    if meta.grid_type == 'clump' or meta.uniform_temperature:
+    if meta.grid_type == 'clump':
+        return jnp.float32(meta.Dfreq_cl
+                           if meta.Dfreq_cl > 0 else meta.Dfreq_ref)
+    if meta.uniform_temperature:
         return jnp.float32(meta.Dfreq_ref)
     if meta.grid_type == 'amr':
         return _leaf_gather(grid.Dfreq, _leaf_of(grid, i), meta.Dfreq_ref)
@@ -309,10 +322,14 @@ def cell_velocity_dot(grid, meta: GridMeta, i, j, k, kx, ky, kz):
     if meta.static_medium:
         return jnp.zeros_like(kx)
     if meta.grid_type == 'clump':
-        # clump bulk velocity (ulos_clump, clump_mod.f90:184-190)
-        return (_leaf_gather(grid.vx, i, 0.0) * kx
-                + _leaf_gather(grid.vy, i, 0.0) * ky
-                + _leaf_gather(grid.vz, i, 0.0) * kz)
+        # clump bulk velocity in REFERENCE Doppler units
+        # (ulos_clump, clump_mod.f90:184-190)
+        u = (_leaf_gather(grid.vx, i, 0.0) * kx
+             + _leaf_gather(grid.vy, i, 0.0) * ky
+             + _leaf_gather(grid.vz, i, 0.0) * kz)
+        if meta.Dfreq_cl > 0:
+            u = u * (meta.Dfreq_cl / meta.Dfreq_ref)
+        return u
     if meta.grid_type == 'amr':
         il = _leaf_of(grid, i)
         return (_leaf_gather(grid.vfx, il, 0.0) * kx
@@ -398,14 +415,18 @@ def clump_sample_owner(cfg, meta: GridMeta, cmeta, grid, s, key):
         qr2 = _leaf_gather(grid.r2, cand, 0.0)
         d2 = (s.x - qx) ** 2 + (s.y - qy) ** 2 + (s.z - qz) ** 2
         contains = jnp.logical_and(cand >= 0, d2 < qr2)
-        u_q = (_leaf_gather(grid.vx, cand, 0.0) * s.kx
-               + _leaf_gather(grid.vy, cand, 0.0) * s.ky
-               + _leaf_gather(grid.vz, cand, 0.0) * s.kz) \
+        r_loc = clump_xloc_ratio(meta)
+        u_q = ((_leaf_gather(grid.vx, cand, 0.0) * s.kx
+                + _leaf_gather(grid.vy, cand, 0.0) * s.ky
+                + _leaf_gather(grid.vz, cand, 0.0) * s.kz) / r_loc) \
             if not meta.static_medium else 0.0
         kq = _leaf_gather(grid.rhokap, cand, 0.0) \
-            * line_profile(cfg, s.xfreq - u_q,
-                           jnp.float32(meta.voigt_a_ref),
-                           jnp.float32(meta.Dfreq_ref))
+            * line_profile(cfg, (s.xfreq - u_q) * r_loc,
+                           jnp.float32(meta.voigt_a_cl
+                                       if meta.Dfreq_cl > 0
+                                       else meta.voigt_a_ref),
+                           jnp.float32(meta.Dfreq_cl if meta.Dfreq_cl > 0
+                                       else meta.Dfreq_ref))
         if meta.has_dust:
             kq = kq + _leaf_gather(grid.rhokapD, cand, 0.0)
         cands.append(cand)
@@ -1476,12 +1497,16 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             k_own, key = jax.random.split(key)
             owner = clump_sample_owner(cfg, meta, cmeta, grid, s, k_own)
             s = s._replace(ic=jnp.where(at_sc, owner, s.ic))
-        if meta.grid_type == 'clump' and not meta.static_medium:
-            # shift into the owner clump's frame for the redistribution
-            # (scatter_resonance_clump wrappers)
+        if meta.grid_type == 'clump':
+            # shift into the owner clump's frame AND its Doppler units for
+            # the redistribution (scatter_resonance_clump wrappers)
             u_in = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
-                                     s.kx, s.ky, s.kz)
-            s = s._replace(xfreq=jnp.where(at_sc, s.xfreq - u_in, s.xfreq))
+                                     s.kx, s.ky, s.kz) \
+                if not meta.static_medium else 0.0
+            r_loc = clump_xloc_ratio(meta)
+            if not meta.static_medium or r_loc != 1.0:
+                s = s._replace(xfreq=jnp.where(
+                    at_sc, (s.xfreq - u_in) * r_loc, s.xfreq))
         a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
         D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
 
@@ -1894,11 +1919,14 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 pass
         t2 = t._replace(nscatt_gas=t.nscatt_gas
                         + jnp.sum(jnp.where(do_res, s.wgt, 0.0)))
-        if meta.grid_type == 'clump' and not meta.static_medium:
+        if meta.grid_type == 'clump':
+            r_loc = clump_xloc_ratio(meta)
             u_out = cell_velocity_dot(grid, meta, s2.ic, s2.jc, s2.kc,
-                                      s2.kx, s2.ky, s2.kz)
-            s2 = s2._replace(xfreq=jnp.where(at_sc, s2.xfreq + u_out,
-                                             s2.xfreq))
+                                      s2.kx, s2.ky, s2.kz) \
+                if not meta.static_medium else 0.0
+            if not meta.static_medium or r_loc != 1.0:
+                s2 = s2._replace(xfreq=jnp.where(
+                    at_sc, s2.xfreq / r_loc + u_out, s2.xfreq))
         if par.calcP and t2.Pa is not None:
             # scattering rate per atom (add_to_Pa, scattering_car.f90:830-866)
             rkp = rhokap_phys(cfg, grid, meta, s.ic, s.jc, s.kc)
@@ -2118,8 +2146,15 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             jc = jnp.clip(jc, 0, meta.ny - 1)
             kc = jnp.clip(kc, 0, meta.nz - 1)
 
-        D_loc = cell_Dfreq(grid, meta, ic, jc, kc)
-        a_loc = cell_voigt_a(grid, meta, ic, jc, kc)
+        if meta.grid_type == 'clump':
+            # clump-mode photons carry GLOBAL reference-unit frequencies;
+            # births (usually in the vacuum between clumps) sample at the
+            # reference temperature
+            D_loc = jnp.float32(meta.Dfreq_ref)
+            a_loc = jnp.float32(meta.voigt_a_ref)
+        else:
+            D_loc = cell_Dfreq(grid, meta, ic, jc, kc)
+            a_loc = cell_voigt_a(grid, meta, ic, jc, kc)
 
         # frequency (spectral samplers, generate_photon.f90:241-305)
         xfreq = jnp.full(shape, par.xfreq0, jnp.float32)
@@ -2535,15 +2570,22 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             t0 = jnp.clip(-eb - sq, 0.0, t_end)
             t1 = jnp.clip(-eb + sq, 0.0, t_end)
             # clump-frame opacity at the GLOBAL frequency (sum_kap_active,
-            # raytrace_clump.f90:621-637)
-            u_q = (_leaf_gather(grid.vx, cand, 0.0) * s.kx
-                   + _leaf_gather(grid.vy, cand, 0.0) * s.ky
-                   + _leaf_gather(grid.vz, cand, 0.0) * s.kz) \
+            # raytrace_clump.f90:621-637), local Doppler units
+            r_loc = clump_xloc_ratio(meta)
+            vr = 1.0 / r_loc
+            u_q = ((_leaf_gather(grid.vx, cand, 0.0) * s.kx
+                    + _leaf_gather(grid.vy, cand, 0.0) * s.ky
+                    + _leaf_gather(grid.vz, cand, 0.0) * s.kz) * vr) \
                 if not meta.static_medium else 0.0
-            x_q = s.xfreq - u_q
+            x_q = (s.xfreq - u_q) * r_loc
             kq = _leaf_gather(grid.rhokap, cand, 0.0) \
-                * line_profile(cfg, x_q, jnp.float32(meta.voigt_a_ref),
-                               jnp.float32(meta.Dfreq_ref))
+                * line_profile(cfg, x_q,
+                               jnp.float32(meta.voigt_a_cl
+                                           if meta.Dfreq_cl > 0
+                                           else meta.voigt_a_ref),
+                               jnp.float32(meta.Dfreq_cl
+                                           if meta.Dfreq_cl > 0
+                                           else meta.Dfreq_ref))
             if meta.has_dust:
                 kq = kq + _leaf_gather(grid.rhokapD, cand, 0.0)
             kq = jnp.where(jnp.logical_and(ok, edet > 0.0), kq, 0.0)
@@ -2607,15 +2649,17 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
                 d_adv = jnp.where(hit, d_hit, t_end)
                 ic_after = jnp.full_like(s.ic, -1)
             else:
-                # clump-frame frequency for opacity (voigt_clump + ulos)
+                # clump-frame frequency for opacity in LOCAL Doppler units
+                # (voigt_clump + ulos, clump_mod.f90:130-190)
                 u_cl = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
                                          s.kx, s.ky, s.kz)
-                x_eval = s.xfreq - u_cl
-                a_cl = jnp.float32(meta.voigt_a_ref)
+                r_loc = clump_xloc_ratio(meta)
+                x_eval = (s.xfreq - u_cl) * r_loc
+                a_cl = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
+                D_cl = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
                 kap = jnp.where(inside,
                                 cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
-                                * line_profile(cfg, x_eval, a_cl,
-                                               jnp.float32(meta.Dfreq_ref)),
+                                * line_profile(cfg, x_eval, a_cl, D_cl),
                                 0.0)
                 if meta.has_dust:
                     kap = kap + cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)

@@ -120,3 +120,35 @@ def test_overlap_colocated_pair_equals_single():
     nsc1, jout1 = _run_clump(par1, meta, cmeta1, grid1, seed=31)
     assert abs(nsc_s - nsc1) / nsc1 < 0.15, (nsc1, nsc_s)
     assert abs(jout_p.sum() / par2.nphotons - 1.0) < 1e-3
+
+
+def test_clump_temperature_broadens_spectrum():
+    """clump_temperature != temperature: a hotter single clump must emit a
+    broader escape spectrum (widths in reference Doppler units scale as
+    sqrt(T_cl/T_ref)); voigt_clump local-unit machinery,
+    clump_mod.f90:130-168."""
+    widths = {}
+    for T_cl in (1e4, 9e4):
+        par = _base_par(clump_N_clumps=1, clump_tau0=300.0,
+                        clump_radius=0.5, nphotons=4000,
+                        clump_temperature=T_cl,
+                        xfreq_min=-60.0, xfreq_max=60.0)
+        cfg = par.resolve()
+        from lart_tpu.grid.clump import build_clumps
+        meta, cmeta, grid = build_clumps(cfg, seed=77)
+        # force the clump onto the origin so the source is inside it
+        import jax.numpy as jnp
+        grid = grid._replace(x=jnp.zeros_like(grid.x),
+                             y=jnp.zeros_like(grid.y),
+                             z=jnp.zeros_like(grid.z))
+        assert (meta.Dfreq_cl > 0) == (T_cl != 1e4) or T_cl == 1e4
+        nsc, jout = _run_clump(par, meta, cmeta, grid, seed=3)
+        xc = np.linspace(meta.xfreq_min, meta.xfreq_max, par.nxfreq)
+        w = jout / jout.sum()
+        mu = (w * xc).sum()
+        widths[T_cl] = np.sqrt((w * (xc - mu) ** 2).sum())
+    # expected ratio = (T2/T1)^(1/2) for Doppler width; escape-wing
+    # scaling for a thick uniform sphere goes as (a tau0)^(1/3) * vth ~
+    # allow generous bounds around sqrt(9) = 3
+    ratio = widths[9e4] / widths[1e4]
+    assert 1.5 < ratio < 4.5, (widths, ratio)
