@@ -11,9 +11,9 @@ TPU layout: clump SoA arrays + a DENSE padded per-cell candidate table
 (cells, K_max) -- the CSR is padded so the traversal kernel does fixed-K
 gathers per DDA step instead of variable-length walks.
 
-v1 scope: uniform radius/density/number profiles; clump_temperature is
-pinned to the reference temperature (local-vs-reference Doppler rescaling
-of the scatter kernel lands with the profile support).
+Radial radius/density/number profiles (constant / powerlaw / tabulated
+file), per-clump radii and opacities, clump_temperature with local
+Doppler units, and population save/load files are all supported.
 """
 
 from __future__ import annotations
