@@ -68,6 +68,9 @@ def run(par: Params, *, seed: Optional[int] = None,
         meta, grid = r.meta, r.dev
     else:
         meta, grid = build_cartesian(cfg)
+    if par.save_input_grid and meta.grid_type == 'cartesian':
+        _dump_input_grid(cfg, meta, grid)
+
     obs = build_observers(cfg)
     obs_meta, odev = obs if obs is not None else (None, None)
 
@@ -223,6 +226,33 @@ def run(par: Params, *, seed: Optional[int] = None,
         sl = make_sightline(cfg, meta, obs_meta, cmeta=cmeta)
         res.sightline = [sl(grid, odev, i) for i in range(obs_meta.nobs)]
     return res
+
+
+def _dump_input_grid(cfg, meta, grid):
+    """Dump the constructed grid arrays (save_input_grid,
+    grid_mod_car.f90:1064-1125): <base>_temp/_opac/_dens/_vfx/_vfy/_vfz
+    files in physical units."""
+    import h5py
+    from .io.writer import output_filename
+    import os
+    par, line = cfg.par, cfg.line
+    base, _ = os.path.splitext(output_filename(par))
+    rk = np.asarray(grid.rhokap, np.float64)
+    Df = np.asarray(grid.Dfreq, np.float64) if grid.Dfreq is not None \
+        else np.full_like(rk, meta.Dfreq_ref)
+    d2cm = par.distance2cm if par.distance2cm > 0 else 1.0
+    T = (Df * (line.wavelength0 * 1e-9)) ** 2 / line.vtherm1 ** 2 \
+        if grid.Dfreq is not None else np.full_like(rk, par.temperature)
+    vth = line.vtherm1 * np.sqrt(np.maximum(T, 1.0))
+    out = {'temp': T, 'opac': rk,
+           'dens': rk * Df / line.cross0 / d2cm}
+    for nm, arr in (('vfx', grid.vfx), ('vfy', grid.vfy),
+                    ('vfz', grid.vfz)):
+        if arr is not None:
+            out[nm] = np.asarray(arr, np.float64) * vth
+    for nm, arr in out.items():
+        with h5py.File(f'{base}_{nm}.h5', 'w') as f:
+            f.create_dataset('data', data=np.asarray(arr, np.float32))
 
 
 def _compact_shrink(state, n_dev, B_new, mesh):

@@ -369,9 +369,11 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
         pkx, pky, pkz = pkx / r, pky / r, pkz / r
         if inside:
             # all-sky map: pixel of the ARRIVAL direction -pk
-            # (peeling_*_inside, peelingoff_heal.f90:36,127,200)
+            # (peeling_*_inside, peelingoff_heal.f90:36,127,200); events
+            # at the observer position itself carry no direction and would
+            # give a divergent 1/r^2 weight -> dropped
             ipix = vec2pix_ring(obs.nside, -pkx, -pky, -pkz)
-            ok = jnp.ones(r2.shape, bool)
+            ok = r2 > jnp.float32(1e-12)
             return (pkx, pky, pkz), r2, ipix, ok, r
         R = odev.rmat[o]
         kx = R[0, 0] * pkx + R[0, 1] * pky + R[0, 2] * pkz

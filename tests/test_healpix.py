@@ -190,3 +190,38 @@ def test_amr_sightline_parity_with_cartesian():
     assert sel.sum() > 20
     rel = np.abs(ta[sel] - tc[sel]) / tc[sel]
     assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_amr_inside_observer_peel():
+    """Interior HEALPix observer on an AMR grid (peelingoff_amr inside,
+    reference peelingoff_amr.f90:656-849): all-sky scattered map covers
+    the sphere; coincident source-observer events are dropped, not inf."""
+    from lart_tpu.grid.amr import build_amr, make_amr_sphere
+    from lart_tpu.instruments.observer import build_observers
+    from lart_tpu.transport import engine
+    par = Params(nphotons=1000, use_amr_grid=True, geometry='sphere',
+                 tauhomo=1.0, temperature=1e4,
+                 xfreq_min=-20.0, xfreq_max=20.0,
+                 save_peeloff=True, nside=2,
+                 batch_size=512, chunk_cycles=16)
+    cfg = par.resolve()
+    r = build_amr(cfg, data=make_amr_sphere(n_base=16, levels_extra=0))
+    obs_meta, odev = build_observers(par.resolve())
+    chunk = jax.jit(engine.make_chunk(cfg, r.meta, obs_meta))
+    st = engine.init_state(par.batch_size)
+    ns = jnp.asarray([par.nphotons], jnp.int32)
+    key = jax.random.PRNGKey(4)
+    sc = dr = 0.0
+    for i in range(200):
+        st, tl, alive, launched = chunk(st, r.dev,
+                                        jax.random.fold_in(key, i),
+                                        ns, odev, None)
+        sc = sc + np.asarray(tl.peel.scatt, np.float64)
+        dr = dr + np.asarray(tl.peel.direc, np.float64)
+        if int(launched) >= par.nphotons and int(alive) == 0:
+            break
+    else:
+        raise AssertionError('did not drain')
+    assert np.isfinite(sc).all() and np.isfinite(dr).all()
+    cov = (sc.reshape(-1, obs_meta.npix).sum(0) > 0)
+    assert cov.sum() == obs_meta.npix
