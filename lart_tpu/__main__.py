@@ -15,11 +15,13 @@ def main(argv=None):
         return 1
     par = Params.from_namelist(argv[0])
     if not par.out_file.strip():
+        from .io.iofile import default_extension
         base = argv[0]
         for ext in ('.in', '.txt'):
             if base.endswith(ext):
                 base = base[:-len(ext)]
-        par.out_file = (argv[1] if len(argv) > 1 else base + '.h5')
+        par.out_file = (argv[1] if len(argv) > 1
+                        else base + default_extension(par.file_format))
 
     t_last = [time.time()]
 

@@ -19,6 +19,8 @@ from typing import Dict, List, Optional
 import numpy as np
 import h5py
 
+from .io.iofile import open_read
+
 __all__ = ['read_lart', 'LaRTOutput', 'PeelObservation']
 
 
@@ -323,7 +325,7 @@ class LaRTOutput:
 # ---------------------------------------------------------------------------
 
 def _load_peel(path: str) -> PeelObservation:
-    with h5py.File(path, 'r') as f:
+    with open_read(path) as f:
         hdr = _attrs(f['Scattered'])
         sc = np.asarray(f['Scattered/data'], np.float64)
         dr = np.asarray(f['Direct/data'], np.float64)
@@ -350,7 +352,7 @@ def _load_peel(path: str) -> PeelObservation:
 def read_lart(path: str) -> LaRTOutput:
     """Load a run: the main output plus any per-observer _peel3D/_tau side
     files sharing its basename (read_lart, reference python/read_lart.py)."""
-    with h5py.File(path, 'r') as f:
+    with open_read(path) as f:
         g = f['Spectrum']
         header = _attrs(g)
         out = LaRTOutput(
@@ -394,7 +396,7 @@ def read_lart(path: str) -> LaRTOutput:
     out.peel = [p for p in out.peel
                 if not (p.filename in seen or seen.add(p.filename))]
     for tf in sorted(glob.glob(f'{base}*_tau{ext}')):
-        with h5py.File(tf, 'r') as f:
+        with open_read(tf) as f:
             out.tau_maps.append(
                 {nm: np.asarray(f[nm + '/data'], np.float64)
                  for nm in ('tau_gas', 'N_gas', 'tau_dust') if nm in f})

@@ -429,6 +429,11 @@ def resolve(par: Params) -> ResolvedConfig:
     line = lines_mod.get_line(par.line_id, par.fine_structure,
                               par.include_deuterium)
 
+    # output backend must be a known one (the reference errors on unknown
+    # par%file_format rather than silently substituting, iofile_mod.f90:81)
+    from .io.iofile import detect_format
+    detect_format('', par.file_format)
+
     # interior (HEALPix) observer vetoes (setup.f90:169-250: no clump,
     # no ly_beta, no Stokes all-sky maps)
     if par.nside > 0:
@@ -441,6 +446,24 @@ def resolve(par: Params) -> ResolvedConfig:
         if par.use_stokes:
             raise ValueError('use_stokes with an inside (HEALPix) observer '
                              'is not supported')
+
+    # Ly-beta (line_type=8) mode vetoes and forced flags
+    # (setup.f90:239-287)
+    if line.line_type == 8:
+        if par.use_clump_medium:
+            raise ValueError('ly_beta: clump medium not supported')
+        if par.use_stokes:
+            raise ValueError('ly_beta: Stokes polarization not supported')
+        if par.xyz_symmetry or par.xy_symmetry or par.xy_periodic:
+            raise ValueError('ly_beta: xyz/xy symmetry and xy_periodic '
+                             'not supported')
+        if par.geometry.strip().lower() in ('plane_atmosphere',
+                                            'spherical_atmosphere'):
+            raise ValueError('ly_beta: atmosphere geometries not supported')
+        if par.core_skip:
+            # core-skip would bias the 3p->2s conversion rate
+            # (setup.f90:287)
+            par = dataclasses.replace(par, core_skip=False)
 
     # Mueller-matrix dust table: an explicit scatt_mat_file (or, for
     # Stokes+dust runs, the bundled table nearest in wavelength) overrides

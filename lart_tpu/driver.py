@@ -145,6 +145,10 @@ def run(par: Params, *, seed: Optional[int] = None,
         if par.use_stokes:
             for k in ('peel_I', 'peel_Q', 'peel_U', 'peel_V'):
                 acc[k] = np.zeros(cube_n, np.float64)
+        if cfg.line.line_type == 8:
+            # band-2 (H-alpha) peel cube (peeling_conversion_Ha /
+            # peeling_dust_Ha, peelingoff_rect.f90:692-871)
+            acc['peel_Ha'] = np.zeros(cube_n, np.float64)
 
     t0 = time.time()
     nphotons = int(np.sum(budgets))
@@ -197,6 +201,8 @@ def run(par: Params, *, seed: Optional[int] = None,
                 acc['peel_Q'] += tl.peel.Q
                 acc['peel_U'] += tl.peel.U
                 acc['peel_V'] += tl.peel.V
+            if 'peel_Ha' in acc:
+                acc['peel_Ha'] += tl.peel.Ha
         alive = int(alive)
         launched = int(launched)
         if progress is not None:

@@ -40,6 +40,7 @@ class PeelCubes(NamedTuple):
     Q: jnp.ndarray
     U: jnp.ndarray
     V: jnp.ndarray
+    Ha: jnp.ndarray = None  # band-2 (H-alpha) cube, ly_beta runs only
 
 
 def zero_cubes(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta
@@ -49,7 +50,8 @@ def zero_cubes(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta
     st = cfg.par.use_stokes
     return PeelCubes(scatt=z, direc=z,
                      I=z if st else None, Q=z if st else None,
-                     U=z if st else None, V=z if st else None)
+                     U=z if st else None, V=z if st else None,
+                     Ha=z if cfg.line.line_type == 8 else None)
 
 
 def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
@@ -164,8 +166,10 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
     # ------------------------------------------------------------------
     # tau to the grid edge along a fixed direction (per (nobs, B) lane)
     # ------------------------------------------------------------------
+    R_Ha = par.cext_dust_Ha / par.cext_dust if par.cext_dust > 0 else 0.0
+
     def tau_to_edge_cart(grid, x, y, z, ic, jc, kc, kx, ky, kz, xfreq,
-                         active, max_steps, cap=None):
+                         active, max_steps, cap=None, iband=None):
         """Lockstep DDA accumulating optical depth to the boundary; respects
         the same periodic/reflect boundary ops as the transport raytrace
         (raytrace_to_edge_* family).  With `cap` (per-lane distance), the
@@ -222,6 +226,13 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
                 rho = rho + rk * h2_kappa(h2, xf, D_cell)
             if meta.has_dust:
                 rho = rho + cell_rhokapD(grid, meta, ic, jc, kc)
+            if iband is not None:
+                # band 2 (H-alpha) sightlines see dust only, scaled to the
+                # H-alpha extinction (peeling_dust_Ha_outside,
+                # peelingoff_rect.f90:801-871)
+                rho2 = (cell_rhokapD(grid, meta, ic, jc, kc) * R_Ha
+                        if meta.has_dust else jnp.zeros_like(rho))
+                rho = jnp.where(iband == 2, rho2, rho)
 
             if meta.grid_type == 'amr':
                 ccx = jnp.take(grid.node_cx, ic, mode='clip')
@@ -341,7 +352,7 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
 
     if meta.grid_type == 'clump':
         def tau_to_edge(grid, x, y, z, ic, jc, kc, kx, ky, kz, xfreq,
-                        active, max_steps, cap=None):
+                        active, max_steps, cap=None, iband=None):
             return tau_to_edge_clump(grid, x, y, z, kx, ky, kz, xfreq,
                                      active, max_steps, cap=cap)
         max_steps = 3 * cmeta.cg_n + 8
@@ -392,11 +403,15 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
     def flat_idx(o, ixf, img):
         return (o * nxfreq + ixf) * (nxim * nyim) + img
 
-    def freq_bin(grid, s, pk, xfreq_com):
-        """Comoving frequency at the event cell -> lab bin index."""
+    def freq_bin(grid, s, pk, xfreq_com, iband=None):
+        """Comoving frequency at the event cell -> lab bin index.  Band-2
+        frequencies are already lab-frame in reference Doppler units
+        (peeling_dust_Ha_outside): no fluid shift, no Dfreq scaling."""
         D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
         u1 = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc, *pk)
         xr = (xfreq_com + u1) * (D_cell / meta.Dfreq_ref)
+        if iband is not None:
+            xr = jnp.where(iband == 2, xfreq_com, xr)
         ixf = jnp.floor((xr - meta.xfreq_min) / meta.dxfreq).astype(jnp.int32)
         ok = jnp.logical_and(ixf >= 0, ixf < nxfreq)
         return ixf, ok
@@ -533,22 +548,28 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
         if mpath is not None:
             mueller = mueller_mod.load_mueller(mpath)
 
+    lt8 = cfg.line.line_type == 8
+
     def peel_dust(cubes: PeelCubes, grid, odev, s, active):
         """Dust peel: HG phase (peeling_dust_nostokes_outside,
         peelingoff_rect.f90:484-575) or tabulated Mueller matrix with
         detector-frame Stokes rotation (peeling_dust_stokes_outside,
-        :131-283)."""
+        :131-283).  In ly_beta runs, band-2 lanes use the H-alpha HG
+        parameter and deposit into the peel_Ha cube with dust-only
+        attenuation (peeling_dust_Ha_outside, peelingoff_rect.f90:801-871)."""
         scatt = cubes.scatt
-        I, Q, U, V = cubes.I, cubes.Q, cubes.U, cubes.V
-        g = par.hgg
+        I, Q, U, V, Ha = cubes.I, cubes.Q, cubes.U, cubes.V, cubes.Ha
+        iband = s.iband if lt8 else None
+        b2 = (s.iband == 2) if lt8 else None
+        g = jnp.where(b2, par.hgg_Ha, par.hgg) if lt8 else par.hgg
         for o in range(obs.nobs):
             pk, r2, img, in_img, cap = obs_geometry(odev, o, s)
             cosa = s.kx * pk[0] + s.ky * pk[1] + s.kz * pk[2]
-            ixf, okf = freq_bin(grid, s, pk, s.xfreq)
+            ixf, okf = freq_bin(grid, s, pk, s.xfreq, iband=iband)
             act = jnp.logical_and(active, in_img)
             tau = tau_to_edge(grid, s.x, s.y, s.z, s.ic, s.jc, s.kc,
                               pk[0], pk[1], pk[2], s.xfreq, act, max_steps,
-                              cap=cap)
+                              cap=cap, iband=iband)
             atten = jnp.exp(-jnp.minimum(tau, 700.0))
             idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1), img)
             okdep = jnp.logical_and(act, okf)
@@ -594,10 +615,58 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
                 peel = (1.0 - g * g) \
                     / (1.0 + g * g - 2.0 * g * cosa) ** 1.5 / FOURPI
                 w = peel / r2 * atten * s.wgt
-                scatt = scatt.at[idx].add(jnp.where(okdep, w, 0.0))
+                if lt8:
+                    scatt = scatt.at[idx].add(
+                        jnp.where(jnp.logical_and(okdep, ~b2), w, 0.0))
+                    Ha = Ha.at[idx].add(
+                        jnp.where(jnp.logical_and(okdep, b2), w, 0.0))
+                else:
+                    scatt = scatt.at[idx].add(jnp.where(okdep, w, 0.0))
         out = cubes._replace(scatt=scatt)
+        if lt8:
+            out = out._replace(Ha=Ha)
         if mueller is not None:
             out = out._replace(I=I, Q=Q, U=U, V=V)
         return out
 
-    return peel_direct, peel_resonance, peel_dust
+    def peel_conversion_Ha(cubes: PeelCubes, grid, odev, s, active,
+                           ua_x, ua_y, ua_z):
+        """Direct fluorescent peel of the newborn H-alpha photon at a
+        ly_beta 3p->2s conversion event (peeling_conversion_Ha_outside,
+        peelingoff_rect.f90:692-800): the H-alpha photon is emitted at line
+        center in the ATOM frame so the frequency toward the observer is
+        the atom-velocity projection only (no xfreq_atom term); dipole
+        phase with the channel-2 E1/E2 weights; dust-only band-2 sightline
+        attenuation; no recoil; deposits into the peel_Ha cube."""
+        Ha = cubes.Ha
+        E1, E2 = s['E1'], s['E2']
+        ph = s['state']
+        band2 = jnp.full(ph.x.shape, 2, jnp.int32)
+        for o in range(obs.nobs):
+            pk, r2, img, in_img, cap = obs_geometry(odev, o, ph)
+            cost = ph.kx * pk[0] + ph.ky * pk[1] + ph.kz * pk[2]
+            cost2 = cost * cost
+            sint = jnp.sqrt(jnp.maximum(1.0 - cost2, 0.0))
+            rho1 = jnp.sqrt(jnp.maximum(1.0 - ph.kz * ph.kz, 0.0)) * sint
+            inv = 1.0 / jnp.maximum(rho1, 1e-20)
+            cosp = jnp.where(rho1 == 0.0, 1.0, inv * (cost * ph.kz - pk[2]))
+            sinp = jnp.where(rho1 == 0.0, 0.0,
+                             inv * (ph.kx * pk[1] - pk[0] * ph.ky))
+            # atom-frame line center: atom-velocity projection only
+            xfreq = (ua_x * cosp + ua_y * sinp) * sint + ua_z * cost
+            # lab-frame reference units via the event cell (freq_bin's
+            # comoving branch implements (xfreq+u1)*D_cell/Dfreq_ref)
+            ixf, okf = freq_bin(grid, ph, pk, xfreq)
+            act = jnp.logical_and(active, in_img)
+            tau = tau_to_edge(grid, ph.x, ph.y, ph.z, ph.ic, ph.jc, ph.kc,
+                              pk[0], pk[1], pk[2], xfreq, act, max_steps,
+                              cap=cap, iband=band2)
+            peel = 0.75 * E1 * (cost2 + 1.0) + E2
+            w = peel / (FOURPI * r2) * jnp.exp(-jnp.minimum(tau, 700.0)) \
+                * ph.wgt
+            idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1), img)
+            Ha = Ha.at[idx].add(
+                jnp.where(jnp.logical_and(act, okf), w, 0.0))
+        return cubes._replace(Ha=Ha)
+
+    return peel_direct, peel_resonance, peel_dust, peel_conversion_Ha

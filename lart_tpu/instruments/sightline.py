@@ -250,15 +250,16 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
 
 def write_sightline_tau(filename: str, maps: Dict, cfg, meta, obs) -> str:
     """Write the _tau output file (sightline_tau_rect.f90:340-420 schema)."""
-    import h5py
-    with h5py.File(filename, 'w') as f:
+    from ..io.iofile import open_write
+    with open_write(filename, cfg.par.file_format) as f:
         for name in ('tau_gas', 'N_gas', 'tau_dust'):
             g = f.create_group(name)
-            g.create_dataset('data', data=maps[name])
+            g.create_dataset('data', data=np.asarray(maps[name]))
             g.attrs['EXTNAME'] = name
-        f['tau_gas'].attrs['Dxfreq'] = meta.dxfreq
-        f['tau_gas'].attrs['Xfreq1'] = meta.xfreq_min
-        f['tau_gas'].attrs['Xfreq2'] = meta.xfreq_max
+            if name == 'tau_gas':
+                g.attrs['Dxfreq'] = meta.dxfreq
+                g.attrs['Xfreq1'] = meta.xfreq_min
+                g.attrs['Xfreq2'] = meta.xfreq_max
     return filename
 
 

@@ -70,7 +70,8 @@ def read_3d_any(path: str) -> np.ndarray:
 
 
 def read_lart(path: str) -> LartOutput:
-    with h5py.File(path, 'r') as f:
+    from .iofile import open_read
+    with open_read(path) as f:
         g = f['Spectrum']
         header = {k: (v.item() if hasattr(v, 'item') else v)
                   for k, v in g.attrs.items()}

@@ -18,9 +18,9 @@ import shutil
 from typing import Optional
 
 import numpy as np
-import h5py
 
 from ..tally import RunResult
+from .iofile import open_write, open_read, default_extension
 
 
 def _put_attrs(g, kv):
@@ -72,22 +72,30 @@ def write_output_peeling_2D(filename: str, res: RunResult, iobs: int) -> str:
     obs = res.obs_meta
     bin_unit = meta.dwave if par.intensity_unit == 1 else meta.dxfreq
     bp = np.float32 if par.out_bitpix == -32 else np.float64
-    hk = {'nphotons': float(res.nphotons), 'I_unit': par.intensity_unit}
+    names = ['Scattered', 'Direct']
+    pairs = [('Scattered', 'scatt'), ('Direct', 'direc')]
+    if par.use_stokes and 'I' in res.peel:
+        pairs += [(f'Stokes_{nm}', nm) for nm in 'IQUV']
+        names += [f'Stokes_{nm}' for nm in 'IQUV']
+    imgs = {name: res.peel[key][iobs].sum(axis=0) * bin_unit
+            for name, key in pairs}
+    nph = float(res.nphotons)
+    if par.out_merge:
+        prev = _read_peel_for_merge(filename, names)
+        if prev is not None:
+            tot = prev['nphotons'] + nph
+            w1, w2 = prev['nphotons'] / tot, nph / tot
+            imgs = {nm: prev[nm] * w1 + imgs[nm] * w2 for nm in imgs}
+            nph = tot
+    hk = {'nphotons': nph, 'I_unit': par.intensity_unit}
     if getattr(obs, 'inside', False):
         hk.update(PIXTYPE='HEALPIX', ORDERING='RING', NSIDE=obs.nside,
                   NPIX=obs.npix)
-    with h5py.File(filename, 'w') as f:
-        for name, key in (('Scattered', 'scatt'), ('Direct', 'direc')):
-            img = res.peel[key][iobs].sum(axis=0) * bin_unit
+    with open_write(filename, par.file_format) as f:
+        for name in names:
             g = f.create_group(name)
-            g.create_dataset('data', data=np.asarray(img, bp))
+            g.create_dataset('data', data=np.asarray(imgs[name], bp))
             _put_attrs(g, dict(hk, EXTNAME=name))
-        if par.use_stokes and 'I' in res.peel:
-            for nm in ('I', 'Q', 'U', 'V'):
-                img = res.peel[nm][iobs].sum(axis=0) * bin_unit
-                g = f.create_group(f'Stokes_{nm}')
-                g.create_dataset('data', data=np.asarray(img, bp))
-                _put_attrs(g, dict(hk, EXTNAME=f'Stokes_{nm}'))
     return filename
 
 
@@ -104,22 +112,61 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
     nph = float(res.nphotons)
     exetime_min = res.exetime_s / 60.0
     Jout, Jin, Jabs = res.Jout, res.Jin, res.Jabs
+    Jabs2, Jmu = res.Jabs2, res.Jmu
+    J1, Pa, Pnew = res.J1, res.Pa, res.Pnew
+    Jout_Ha, Jabs_Ha, J2gam = res.Jout_Ha, res.Jabs_Ha, res.J2gam
     nsc_gas, nsc_dust = res.nscatt_gas, res.nscatt_dust
+    scal = {k: getattr(res, k) for k in
+            ('W_conv', 'W_esc1', 'W_abs1', 'W_esc2', 'W_abs2',
+             'W_H2abs', 'W_H2scat', 'flux_factor', 'nrejected')}
+    scal['W_H2pump'] = res.W_H2pump
+    allph = res.allph
     if merged is not None:
+        # photon-count-weighted accumulation of ALL per-photon-normalized
+        # arrays and scalars (write_output_rect.f90:130-420 merges spectra,
+        # Jmu, Pa/P1/P2(+new), J/J1/J2, Jout_Ha/Jabs_Ha, J2gam, flux
+        # factors identically)
         nph1 = merged['nphotons']
         tot = nph1 + nph
         w1, w2 = nph1 / tot, nph / tot
-        Jout = merged['Jout'] * w1 + Jout * w2
-        if Jin is not None and merged.get('Jin') is not None:
-            Jin = merged['Jin'] * w1 + Jin * w2
-        if Jabs is not None and merged.get('Jabs') is not None:
-            Jabs = merged['Jabs'] * w1 + Jabs * w2
+
+        def mavg(old, new):
+            if new is None:
+                return None
+            if old is None:
+                return new
+            return np.asarray(old, np.float64) * w1 \
+                + np.asarray(new, np.float64) * w2
+
+        Jout = mavg(merged.get('Jout'), Jout)
+        Jin = mavg(merged.get('Jin'), Jin)
+        Jabs = mavg(merged.get('Jabs'), Jabs)
+        Jabs2 = mavg(merged.get('Jabs2'), Jabs2)
+        Jmu = mavg(merged.get('Jmu'), Jmu)
+        J1 = mavg(merged.get('J1'), J1)
+        Pa = mavg(merged.get('Pa'), Pa)
+        Pnew = mavg(merged.get('Pnew'), Pnew)
+        Jout_Ha = mavg(merged.get('Jout_Ha'), Jout_Ha)
+        Jabs_Ha = mavg(merged.get('Jabs_Ha'), Jabs_Ha)
+        J2gam = mavg(merged.get('J2gam'), J2gam)
         nsc_gas = merged['Nsc_gas'] * w1 + nsc_gas * w2
         nsc_dust = merged['Nsc_dust'] * w1 + nsc_dust * w2
+        for k in list(scal):
+            if scal[k] is not None and merged.get(k) is not None:
+                scal[k] = mavg(merged[k], scal[k]) \
+                    if k == 'W_H2pump' else \
+                    float(merged[k]) * w1 + float(scal[k]) * w2
+        if allph and merged.get('allph'):
+            # per-photon rows: merge = concatenation of independent runs
+            old = merged['allph']
+            if set(old.keys()) == set(allph.keys()):
+                allph = {k: np.concatenate([np.asarray(old[k]),
+                                            np.asarray(allph[k])])
+                         for k in allph}
         exetime_min = exetime_min + merged['ExeTime']
         nph = tot
 
-    with h5py.File(filename, 'w') as f:
+    with open_write(filename, par.file_format) as f:
         g = f.create_group('Spectrum')
         bp = np.float32 if par.out_bitpix == -32 else np.float64
         g.create_dataset('Xfreq', data=res.xfreq.astype(bp))
@@ -130,8 +177,8 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
             g.create_dataset('Jabs', data=np.asarray(Jabs, bp))
         if par.save_Jin and Jin is not None:
             g.create_dataset('Jin', data=np.asarray(Jin, bp))
-        if res.Jabs2 is not None:
-            g.create_dataset('Jabs2', data=np.asarray(res.Jabs2, bp))
+        if Jabs2 is not None:
+            g.create_dataset('Jabs2', data=np.asarray(Jabs2, bp))
 
         _put_attrs(g, {
             'ExeTime': exetime_min,
@@ -168,38 +215,40 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
             'calc_P': par.calcP, 'calc_Pnew': par.calcPnew,
             'calc_J': par.calcJ,
         })
-        if res.flux_factor:
-            _put_attrs(g, {'flux_factor': res.flux_factor,
-                           'nrejected': res.nrejected})
+        if scal['flux_factor']:
+            _put_attrs(g, {'flux_factor': scal['flux_factor'],
+                           'nrejected': scal['nrejected']})
         if par.h2_model.strip().lower() not in ('', 'none'):
             _put_attrs(g, {
                 'H2MODEL': par.h2_model, 'H2FH2': par.f_H2,
                 'H2TEMP': par.h2_temperature, 'H2NLINE': 2,
-                'H2ABS': res.W_H2abs, 'H2SCAT': res.W_H2scat,
-                'H2PUMP1': float(res.W_H2pump[0])
-                if res.W_H2pump is not None else 0.0,
-                'H2PUMP2': float(res.W_H2pump[1])
-                if res.W_H2pump is not None else 0.0,
+                'H2ABS': scal['W_H2abs'], 'H2SCAT': scal['W_H2scat'],
+                'H2PUMP1': float(scal['W_H2pump'][0])
+                if scal['W_H2pump'] is not None else 0.0,
+                'H2PUMP2': float(scal['W_H2pump'][1])
+                if scal['W_H2pump'] is not None else 0.0,
             })
-        if res.Jout_Ha is not None:
+        if Jout_Ha is not None:
             gh = f.create_group('Jout_Ha')
-            gh.create_dataset('data', data=np.asarray(res.Jout_Ha, bp))
+            gh.create_dataset('data', data=np.asarray(Jout_Ha, bp))
             _put_attrs(gh, {'EXTNAME': 'Jout_Ha'})
             gh = f.create_group('Jabs_Ha')
-            gh.create_dataset('data', data=np.asarray(res.Jabs_Ha, bp))
+            gh.create_dataset('data', data=np.asarray(Jabs_Ha, bp))
             _put_attrs(gh, {'EXTNAME': 'Jabs_Ha'})
-            _put_attrs(g, {'W_conv': res.W_conv, 'W_esc1': res.W_esc1,
-                           'W_abs1': res.W_abs1, 'W_esc2': res.W_esc2,
-                           'W_abs2': res.W_abs2})
-        if res.J2gam is not None:
+            _put_attrs(g, {'W_conv': scal['W_conv'],
+                           'W_esc1': scal['W_esc1'],
+                           'W_abs1': scal['W_abs1'],
+                           'W_esc2': scal['W_esc2'],
+                           'W_abs2': scal['W_abs2']})
+        if J2gam is not None:
             g2 = f.create_group('J2gam')
             g2.create_dataset('y', data=res.y_2gam)
-            g2.create_dataset('data', data=np.asarray(res.J2gam, bp))
+            g2.create_dataset('data', data=np.asarray(J2gam, bp))
             _put_attrs(g2, {'EXTNAME': 'J2gam'})
-        for nm, arr, ext in (('J1', res.J1, 'Jx_1D'), ('Pa', res.Pa,
+        for nm, arr, ext in (('J1', J1, 'Jx_1D'), ('Pa', Pa,
                              'Pa_1D' if res.meta.geometry_JPa != 3
                              else 'Pa_3D'),
-                             ('Pnew', res.Pnew, 'Pa_1D_new')):
+                             ('Pnew', Pnew, 'Pa_1D_new')):
             if arr is None:
                 continue
             gp = f.create_group(ext)
@@ -211,15 +260,15 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
                 gp.create_dataset('radius', data=res.r_JPa)
             _put_attrs(gp, {'EXTNAME': ext,
                             'geom_JPa': res.meta.geometry_JPa})
-        if res.allph:
+        if allph:
             # all-photons table (write_output_rect.f90:1353-1483)
             ga = f.create_group('AllPhotons')
-            for nm, arr in res.allph.items():
+            for nm, arr in allph.items():
                 ga.create_dataset(nm, data=np.asarray(arr, np.float32))
             _put_attrs(ga, {'EXTNAME': 'AllPhotons'})
-        if res.Jmu is not None:
+        if Jmu is not None:
             gm = f.create_group('Jmu')
-            gm.create_dataset('data', data=res.Jmu.astype(bp))
+            gm.create_dataset('data', data=np.asarray(Jmu, bp))
             mu_min = 0.0 if par.xyz_symmetry else -1.0
             dmu = (1.0 - mu_min) / par.nmu
             _put_attrs(gm, {
@@ -242,9 +291,31 @@ def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
     meta = res.meta
     obs = res.obs_meta
     bin_unit = meta.dwave if par.intensity_unit == 1 else meta.dxfreq
-    sc = res.peel['scatt'][iobs]
-    dr = res.peel['direc'][iobs]
+    cubes = {'Scattered': res.peel['scatt'][iobs],
+             'Direct': res.peel['direc'][iobs]}
+    has_stokes = par.use_stokes and 'I' in res.peel
+    if has_stokes:
+        for nm in 'IQUV':
+            cubes[f'Stokes_{nm}'] = res.peel[nm][iobs]
+    if 'Ha' in res.peel:
+        # ly_beta band-2 H-alpha peel cube (write_output_rect.f90:1180-1185)
+        cubes['peel_Ha'] = res.peel['Ha'][iobs]
     bp_ = np.float32 if par.out_bitpix == -32 else np.float64
+
+    if getattr(obs, 'inside', False):
+        cubes = {k: v.reshape(meta.nxfreq, obs.npix)
+                 for k, v in cubes.items() if k in ('Scattered', 'Direct')}
+    nph = float(res.nphotons)
+    if par.out_merge:
+        # photon-count-weighted merge of previous peel cubes
+        # (write_output_rect.f90:780-960)
+        prev = _read_peel_for_merge(filename, list(cubes))
+        if prev is not None:
+            tot = prev['nphotons'] + nph
+            w1, w2 = prev['nphotons'] / tot, nph / tot
+            cubes = {nm: prev[nm] * w1 + cubes[nm] * w2 for nm in cubes}
+            nph = tot
+    sc, dr = cubes['Scattered'], cubes['Direct']
 
     if getattr(obs, 'inside', False):
         # interior observer: all-sky HEALPix RING maps (nxfreq, npix)
@@ -254,18 +325,14 @@ def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
             'NSIDE': obs.nside, 'NPIX': obs.npix,
             'Xfreq1': meta.xfreq_min, 'Xfreq2': meta.xfreq_max,
             'Dxfreq': meta.dxfreq, 'I_unit': par.intensity_unit,
-            'nphotons': float(res.nphotons),
+            'nphotons': nph,
         }
-        with h5py.File(filename, 'w') as f:
+        with open_write(filename, par.file_format) as f:
             g = f.create_group('Scattered')
-            g.create_dataset('data',
-                             data=sc.reshape(meta.nxfreq,
-                                             obs.npix).astype(bp_))
+            g.create_dataset('data', data=np.asarray(sc, bp_))
             _put_attrs(g, dict(hk, EXTNAME='Scattered'))
             g = f.create_group('Direct')
-            g.create_dataset('data',
-                             data=dr.reshape(meta.nxfreq,
-                                             obs.npix).astype(bp_))
+            g.create_dataset('data', data=np.asarray(dr, bp_))
             _put_attrs(g, dict(hk, EXTNAME='Direct'))
         return filename
 
@@ -283,17 +350,22 @@ def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
         'Xfreq1': meta.xfreq_min, 'Xfreq2': meta.xfreq_max,
         'Dxfreq': meta.dxfreq, 'Dwave': meta.dwave,
         'I_unit': par.intensity_unit, 'Dfreq': meta.Dfreq_ref,
-        'nphotons': float(res.nphotons),
+        'nphotons': nph,
     }
     bp = np.float32 if par.out_bitpix == -32 else np.float64
 
-    with h5py.File(filename, 'w') as f:
+    with open_write(filename, par.file_format) as f:
         g = f.create_group('Scattered')
-        g.create_dataset('data', data=sc.astype(bp))
+        g.create_dataset('data', data=np.asarray(sc, bp))
         _put_attrs(g, dict(wcs, EXTNAME='Scattered'))
         g = f.create_group('Direct')
-        g.create_dataset('data', data=dr.astype(bp))
+        g.create_dataset('data', data=np.asarray(dr, bp))
         _put_attrs(g, dict(wcs, EXTNAME='Direct'))
+
+        if 'peel_Ha' in cubes:
+            g = f.create_group('peel_Ha')
+            g.create_dataset('data', data=np.asarray(cubes['peel_Ha'], bp))
+            _put_attrs(g, dict(wcs, EXTNAME='peel_Ha'))
 
         r, rI = radial_intensity(sc, dr, bin_unit)
         g = f.create_group('RadialI')
@@ -301,15 +373,15 @@ def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
         g.create_dataset('I', data=rI)
         _put_attrs(g, {'EXTNAME': 'RadialI'})
 
-        if par.use_stokes and 'I' in res.peel:
+        if has_stokes:
             for name in ('I', 'Q', 'U', 'V'):
                 g = f.create_group(f'Stokes_{name}')
-                g.create_dataset('data',
-                                 data=res.peel[name][iobs].astype(bp))
+                g.create_dataset(
+                    'data', data=np.asarray(cubes[f'Stokes_{name}'], bp))
                 _put_attrs(g, dict(wcs, EXTNAME=f'Stokes_{name}'))
             r, rI, rQ, rU, rV, pol = radial_stokes(
-                res.peel['I'][iobs], res.peel['Q'][iobs],
-                res.peel['U'][iobs], res.peel['V'][iobs], bin_unit)
+                cubes['Stokes_I'], cubes['Stokes_Q'],
+                cubes['Stokes_U'], cubes['Stokes_V'], bin_unit)
             g = f.create_group('Stokes_radial')
             for nm, arr in (('radius', r), ('I', rI), ('Q', rQ), ('U', rU),
                             ('V', rV), ('pol', pol)):
@@ -319,18 +391,63 @@ def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
 
 
 def _read_for_merge(filename: str) -> dict:
-    with h5py.File(filename, 'r') as f:
-        g = f['Spectrum']
-        out = {
-            'nphotons': float(g.attrs['nphotons']),
-            'Nsc_gas': float(g.attrs['Nsc_gas']),
-            'Nsc_dust': float(g.attrs['Nsc_dust']),
-            'ExeTime': float(g.attrs['ExeTime']),
-            'Jout': np.asarray(g['Jout'], np.float64),
-        }
-        out['Jin'] = np.asarray(g['Jin'], np.float64) if 'Jin' in g else None
-        out['Jabs'] = np.asarray(g['Jabs'], np.float64) if 'Jabs' in g else None
+    """Read every mergeable section of a previous output
+    (write_output_rect.f90:120-420)."""
+    f = open_read(filename)
+    g = f['Spectrum']
+    out = {
+        'nphotons': float(g.attrs['nphotons']),
+        'Nsc_gas': float(g.attrs['Nsc_gas']),
+        'Nsc_dust': float(g.attrs['Nsc_dust']),
+        'ExeTime': float(g.attrs['ExeTime']),
+        'Jout': np.asarray(g['Jout'], np.float64),
+    }
+    for ds in ('Jin', 'Jabs', 'Jabs2'):
+        out[ds] = np.asarray(g[ds], np.float64) if ds in g else None
+    for key, attr in (('flux_factor', 'flux_factor'),
+                      ('nrejected', 'nrejected'),
+                      ('W_conv', 'W_conv'), ('W_esc1', 'W_esc1'),
+                      ('W_abs1', 'W_abs1'), ('W_esc2', 'W_esc2'),
+                      ('W_abs2', 'W_abs2'),
+                      ('W_H2abs', 'H2ABS'), ('W_H2scat', 'H2SCAT')):
+        out[key] = float(g.attrs[attr]) if attr in g.attrs else None
+    if 'H2PUMP1' in g.attrs:
+        out['W_H2pump'] = np.array([float(g.attrs['H2PUMP1']),
+                                    float(g.attrs.get('H2PUMP2', 0.0))])
+    else:
+        out['W_H2pump'] = None
+    for sec, key in (('Jmu', 'Jmu'), ('Jout_Ha', 'Jout_Ha'),
+                     ('Jabs_Ha', 'Jabs_Ha'), ('J2gam', 'J2gam'),
+                     ('Jx_1D', 'J1'), ('Pa_1D', 'Pa'), ('Pa_3D', 'Pa'),
+                     ('Pa_1D_new', 'Pnew')):
+        if sec in f and 'data' in f[sec]:
+            arr = np.asarray(f[sec]['data'], np.float64)
+            out[key] = arr.reshape(-1) if sec == 'Pa_3D' else arr
+        else:
+            out.setdefault(key, None)
+    if 'AllPhotons' in f:
+        s = f['AllPhotons']
+        out['allph'] = {k: np.asarray(s[k]) for k in s.keys()}
+    else:
+        out['allph'] = None
     return out
+
+
+def _read_peel_for_merge(filename: str, names) -> Optional[dict]:
+    """Previous per-observer peel file -> {name: cube, 'nphotons': N}
+    (merge of obs%scatt/direc/I/Q/U/V, write_output_rect.f90:780-960)."""
+    if not os.path.exists(filename):
+        return None
+    f = open_read(filename)
+    out = {}
+    for nm in names:
+        if nm not in f or 'data' not in f[nm]:
+            return None
+        sec = f[nm]
+        out[nm] = np.asarray(sec['data'], np.float64)
+        if 'nphotons' not in out and 'nphotons' in sec.attrs:
+            out['nphotons'] = float(sec.attrs['nphotons'])
+    return out if 'nphotons' in out else None
 
 
 def _backup_name(filename: str) -> str:
@@ -345,4 +462,4 @@ def output_filename(par) -> str:
     if par.out_file.strip():
         return par.out_file
     base = par.base_name.strip() or 'lart_output'
-    return base + '.h5'
+    return base + default_extension(par.file_format)

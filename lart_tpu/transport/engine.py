@@ -1245,7 +1245,8 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
 # ---------------------------------------------------------------------------
 
 def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
-                 peel_resonance=None, peel_dust=None, cmeta=None):
+                 peel_resonance=None, peel_dust=None, peel_conversion=None,
+                 cmeta=None):
     par, line = cfg.par, cfg.line
     lt = line.line_type
     h2 = h2_setup(cfg)
@@ -1606,12 +1607,20 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
 
         # peel BEFORE the direction/triad update, using the pre-scatter
         # photon direction and the sampled atom velocity
-        # (scattering_car.f90:784-792, :445-449)
+        # (scattering_car.f90:784-792, :445-449).  At a ly_beta 3p->2s
+        # conversion the event instead peels the newborn H-alpha photon
+        # (scattering_car.f90:785-792 branch -> peeling_conversion_Ha)
         if peel_resonance is not None:
+            res_mask = do_res if conv is None \
+                else jnp.logical_and(do_res, ~conv)
             t = t._replace(peel=peel_resonance(
                 t.peel, grid, odev,
                 {'state': s, 'E1': E1, 'E2': E2, 'E3': E3},
-                do_res, xfreq_atom, ux, uy, uz))
+                res_mask, xfreq_atom, ux, uy, uz))
+            if conv is not None and peel_conversion is not None:
+                t = t._replace(peel=peel_conversion(
+                    t.peel, grid, odev, {'state': s, 'E1': E1, 'E2': E2},
+                    jnp.logical_and(do_res, conv), ux, uy, uz))
 
         if par.recoil:
             rec_ok = jnp.ones_like(xfreq_new, bool) if conv is None \
@@ -1732,7 +1741,8 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             ina = jnp.logical_and(ixa >= 0, ixa < meta.nxfreq)
             wab = s.wgt * (1.0 - albedo_l) if par.use_reduced_wgt else s.wgt
             if peel_dust is not None:
-                s_peel = s._replace(wgt=s.wgt * par.albedo) \
+                # per-lane albedo: band-2 lanes carry albedo_Ha
+                s_peel = s._replace(wgt=s.wgt * albedo_l) \
                     if par.use_reduced_wgt else s
                 t = t._replace(peel=peel_dust(t.peel, grid, odev, s_peel,
                                               dust_sc))
@@ -2378,15 +2388,17 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
     shards.  obs_meta/odev enable the peeling instruments."""
     if obs_meta is not None:
         from ..instruments import peel as peel_mod
-        p_direct, p_res, p_dust = peel_mod.make_peel(cfg, meta, obs_meta,
+        p_direct, p_res, p_dust, p_conv = peel_mod.make_peel(cfg, meta,
+                                                             obs_meta,
                                                      cmeta=cmeta)
         peel_zero = lambda: peel_mod.zero_cubes(cfg, meta, obs_meta)
     else:
-        p_direct = p_res = p_dust = None
+        p_direct = p_res = p_dust = p_conv = None
         peel_zero = lambda: None
 
     fly = make_fly(cfg, meta, cmeta=cmeta)
     scatter = make_scatter(cfg, meta, peel_resonance=p_res, peel_dust=p_dust,
+                           peel_conversion=p_conv,
                            cmeta=cmeta)
     refill = make_refill(cfg, meta, peel_direct=p_direct)
     n_cycles = cfg.par.chunk_cycles
