@@ -149,6 +149,9 @@ def run(par: Params, *, seed: Optional[int] = None,
             # band-2 (H-alpha) peel cube (peeling_conversion_Ha /
             # peeling_dust_Ha, peelingoff_rect.f90:692-871)
             acc['peel_Ha'] = np.zeros(cube_n, np.float64)
+        if par.save_direc0 and par.source_geometry.strip().lower() \
+                == 'stellar_illumination':
+            acc['peel_direc0'] = np.zeros(cube_n, np.float64)
 
     t0 = time.time()
     nphotons = int(np.sum(budgets))
@@ -203,6 +206,8 @@ def run(par: Params, *, seed: Optional[int] = None,
                 acc['peel_V'] += tl.peel.V
             if 'peel_Ha' in acc:
                 acc['peel_Ha'] += tl.peel.Ha
+            if 'peel_direc0' in acc:
+                acc['peel_direc0'] += tl.peel.direc0
         alive = int(alive)
         launched = int(launched)
         if progress is not None:

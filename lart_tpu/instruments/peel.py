@@ -41,6 +41,7 @@ class PeelCubes(NamedTuple):
     U: jnp.ndarray
     V: jnp.ndarray
     Ha: jnp.ndarray = None  # band-2 (H-alpha) cube, ly_beta runs only
+    direc0: jnp.ndarray = None  # unattenuated stellar direct (save_direc0)
 
 
 def zero_cubes(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta
@@ -48,10 +49,14 @@ def zero_cubes(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta
     n = obs.nobs * meta.nxfreq * obs.nxim * obs.nyim
     z = jnp.zeros((n,), jnp.float32)
     st = cfg.par.use_stokes
+    stellar = cfg.par.source_geometry.strip().lower() \
+        == 'stellar_illumination'
     return PeelCubes(scatt=z, direc=z,
                      I=z if st else None, Q=z if st else None,
                      U=z if st else None, V=z if st else None,
-                     Ha=z if cfg.line.line_type == 8 else None)
+                     Ha=z if cfg.line.line_type == 8 else None,
+                     direc0=z if (stellar and cfg.par.save_direc0)
+                     else None)
 
 
 def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
@@ -419,7 +424,7 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
     # ------------------------------------------------------------------
     # peel kernels
     # ------------------------------------------------------------------
-    def peel_direct(cubes: PeelCubes, grid, odev, s, active):
+    def peel_direct(cubes: PeelCubes, grid, odev, s, active, key=None):
         """Direct (unscattered) peel at emission (peeling_direct_outside,
         peelingoff_rect.f90:24-129)."""
         direc = cubes.direc
@@ -668,5 +673,148 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
             Ha = Ha.at[idx].add(
                 jnp.where(jnp.logical_and(act, okf), w, 0.0))
         return cubes._replace(Ha=Ha)
+
+    # ------------------------------------------------------------------
+    # stellar-illumination direct peel: stellar-disk visibility
+    # ------------------------------------------------------------------
+    sg = par.source_geometry.strip().lower()
+    if sg == 'stellar_illumination':
+        from ..physics.sources import sample_limb_cost
+        if meta.grid_type == 'amr':
+            from ..transport.engine import amr_find_cell
+        Dsp = par.distance_star_to_planet
+        Rs = par.stellar_radius
+        Rmax = par.rmax if par.rmax > 0 else min(meta.xmax, meta.ymax,
+                                                 meta.zmax)
+
+        def peel_direct_stellar(cubes: PeelCubes, grid, odev, s, active,
+                                key=None):
+            """Stellar-disk direct peel
+            (peeling_direct_stellar_illumination1,
+            reference src/stellar_illumination.f90:953-1164; AMR variant
+            :1636-1782): per newborn photon, sample ONE limb-darkened
+            point on the stellar disk facing each observer; if the
+            star-point->observer ray crosses the atmosphere sphere,
+            attenuate by the tau through it; deposit 1/d^2_star-obs
+            weights into Direct (and the unattenuated reference into
+            Direct0 for transit-depth normalization)."""
+            direc = cubes.direc
+            direc0 = cubes.direc0
+            I = cubes.I
+            # newborn frequency -> lab frame in reference Doppler units
+            D_cell = cell_Dfreq(grid, meta, s.ic, s.jc, s.kc)
+            u1 = cell_velocity_dot(grid, meta, s.ic, s.jc, s.kc,
+                                   s.kx, s.ky, s.kz) \
+                if not meta.static_medium else 0.0
+            xr = (s.xfreq + u1) * (D_cell / meta.Dfreq_ref)
+            ixf = jnp.floor((xr - meta.xfreq_min)
+                            / meta.dxfreq).astype(jnp.int32)
+            okf = jnp.logical_and(ixf >= 0, ixf < nxfreq)
+            # ONE surface sample (cost, vphi) per photon, shared across
+            # observers (stellar_illumination.f90:1001-1032)
+            cost = sample_limb_cost(jax.random.fold_in(key, 0),
+                                    par.stellar_limb_darkening, s.x.shape)
+            vphi = 2.0 * math.pi * jax.random.uniform(
+                jax.random.fold_in(key, 1), s.x.shape, jnp.float32)
+            cosvp, sinvp = jnp.cos(vphi), jnp.sin(vphi)
+            for o in range(obs.nobs):
+                ox, oy, oz = odev.pos[o, 0], odev.pos[o, 1], odev.pos[o, 2]
+                # star->observer axis (star at (0,0,-Dsp))
+                k0x, k0y, k0z = ox, oy, oz + Dsp
+                d_so2 = k0x * k0x + k0y * k0y + k0z * k0z
+                d_so = jnp.sqrt(d_so2)
+                k0x, k0y, k0z = k0x / d_so, k0y / d_so, k0z / d_so
+                cosvt0 = Rs / d_so
+                cosvt = cost * jnp.sqrt(1.0 - cosvt0 ** 2
+                                        + (cosvt0 * cost) ** 2) \
+                    + cosvt0 * (1.0 - cost * cost)
+                sinvt = jnp.sqrt(jnp.maximum(1.0 - cosvt * cosvt, 0.0))
+                kr0 = jnp.sqrt(jnp.maximum(k0x * k0x + k0y * k0y, 0.0))
+                pol = kr0 < 1e-11
+                kr0s = jnp.maximum(kr0, 1e-11)
+                xx = jnp.where(pol, sinvt * cosvp,
+                               cosvt * k0x + sinvt * (k0z * k0x * cosvp
+                                                      - k0y * sinvp) / kr0s)
+                yy = jnp.where(pol, sinvt * sinvp,
+                               cosvt * k0y + sinvt * (k0z * k0y * cosvp
+                                                      + k0x * sinvp) / kr0s)
+                zz = jnp.where(pol, jnp.sign(k0z) * cosvt,
+                               cosvt * k0z - sinvt * cosvp * kr0)
+                xx, yy, zz = Rs * xx, Rs * yy, Rs * zz - Dsp
+                pkx, pky, pkz = ox - xx, oy - yy, oz - zz
+                rr = jnp.sqrt(pkx * pkx + pky * pky + pkz * pkz)
+                pkx, pky, pkz = pkx / rr, pky / rr, pkz / rr
+                # TAN pixel
+                R = odev.rmat[o]
+                kx = R[0, 0] * pkx + R[0, 1] * pky + R[0, 2] * pkz
+                ky = R[1, 0] * pkx + R[1, 1] * pky + R[1, 2] * pkz
+                kz = R[2, 0] * pkx + R[2, 1] * pky + R[2, 2] * pkz
+                ix = jnp.floor(jnp.arctan2(-kx, kz) * RAD2DEG / obs.dxim
+                               + nxim / 2.0).astype(jnp.int32)
+                iy = jnp.floor(jnp.arctan2(-ky, kz) * RAD2DEG / obs.dyim
+                               + nyim / 2.0).astype(jnp.int32)
+                in_img = jnp.logical_and(
+                    jnp.logical_and(ix >= 0, ix < nxim),
+                    jnp.logical_and(iy >= 0, iy < nyim))
+                img = (jnp.clip(ix, 0, nxim - 1) * nyim
+                       + jnp.clip(iy, 0, nyim - 1))
+                # atmosphere-sphere crossing (bug-fixed check of
+                # stellar_illumination.f90:1106-1112)
+                r_dot_k = xx * pkx + yy * pky + zz * pkz
+                rr2 = xx * xx + yy * yy + zz * zz
+                det = r_dot_k * r_dot_k - (rr2 - Rmax * Rmax)
+                crosses = jnp.logical_and(r_dot_k < 0.0, det >= 0.0)
+                dist = -r_dot_k - jnp.sqrt(jnp.maximum(det, 0.0))
+                ex = xx + pkx * dist
+                ey = yy + pky * dist
+                ez = zz + pkz * dist
+                if meta.grid_type == 'amr':
+                    eic = amr_find_cell(grid, meta, ex, ey, ez)
+                    ejc = jnp.zeros_like(eic)
+                    ekc = jnp.zeros_like(eic)
+                elif meta.grid_type == 'clump':
+                    eic = ejc = ekc = jnp.zeros(ex.shape, jnp.int32)
+                else:
+                    eic = jnp.clip(jnp.floor((ex - xmn) / dx
+                                             ).astype(jnp.int32), 0, nx - 1)
+                    ejc = jnp.clip(jnp.floor((ey - ymn) / dy
+                                             ).astype(jnp.int32), 0, ny - 1)
+                    ekc = jnp.clip(jnp.floor((ez - zmn) / dz
+                                             ).astype(jnp.int32), 0, nz - 1)
+                # lab frequency -> comoving at the entry cell
+                if meta.grid_type != 'clump' and (
+                        not meta.static_medium
+                        or not meta.uniform_temperature):
+                    u2 = cell_velocity_dot(grid, meta, eic, ejc, ekc,
+                                           pkx, pky, pkz)
+                    D2 = cell_Dfreq(grid, meta, eic, ejc, ekc)
+                    xf_in = xr * meta.Dfreq_ref / D2 - u2
+                else:
+                    xf_in = xr
+                act = jnp.logical_and(active, in_img)
+                tau = tau_to_edge(grid, ex, ey, ez, eic, ejc, ekc,
+                                  pkx, pky, pkz, xf_in,
+                                  jnp.logical_and(act, crosses), max_steps)
+                atten = jnp.where(crosses,
+                                  jnp.exp(-jnp.minimum(tau, 700.0)), 1.0)
+                # pobs%wgt = 1: limb darkening is importance-sampled
+                w0 = 1.0 / d_so2
+                okdep = jnp.logical_and(act, okf)
+                idx = flat_idx(o, jnp.clip(ixf, 0, nxfreq - 1), img)
+                direc = direc.at[idx].add(
+                    jnp.where(okdep, w0 * atten, 0.0))
+                if direc0 is not None:
+                    direc0 = direc0.at[idx].add(jnp.where(okdep, w0, 0.0))
+                if par.use_stokes:
+                    I = I.at[idx].add(jnp.where(okdep, w0 * atten, 0.0))
+            out = cubes._replace(direc=direc)
+            if direc0 is not None:
+                out = out._replace(direc0=direc0)
+            if par.use_stokes:
+                out = out._replace(I=I)
+            return out
+
+        return (peel_direct_stellar, peel_resonance, peel_dust,
+                peel_conversion_Ha)
 
     return peel_direct, peel_resonance, peel_dust, peel_conversion_Ha

@@ -300,6 +300,9 @@ def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
     if 'Ha' in res.peel:
         # ly_beta band-2 H-alpha peel cube (write_output_rect.f90:1180-1185)
         cubes['peel_Ha'] = res.peel['Ha'][iobs]
+    if 'direc0' in res.peel:
+        # unattenuated stellar direct cube (write_output_rect.f90:1170-1173)
+        cubes['Direct0'] = res.peel['direc0'][iobs]
     bp_ = np.float32 if par.out_bitpix == -32 else np.float64
 
     if getattr(obs, 'inside', False):
@@ -366,6 +369,10 @@ def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
             g = f.create_group('peel_Ha')
             g.create_dataset('data', data=np.asarray(cubes['peel_Ha'], bp))
             _put_attrs(g, dict(wcs, EXTNAME='peel_Ha'))
+        if 'Direct0' in cubes:
+            g = f.create_group('Direct0')
+            g.create_dataset('data', data=np.asarray(cubes['Direct0'], bp))
+            _put_attrs(g, dict(wcs, EXTNAME='Direct0'))
 
         r, rI = radial_intensity(sc, dr, bin_unit)
         g = f.create_group('RadialI')

@@ -319,6 +319,38 @@ def _limb_wgt(limb_model: int, cos_ang):
     return (c0 + c1 * cos_ang + c2 * cos_ang * cos_ang) * cos_ang / norm / 2.0
 
 
+def sample_limb_cost(key, limb_model: int, shape, n_rounds: int = 8):
+    """Sample cos(theta) of emission from the stellar surface under the
+    chosen limb-darkening law (importance sampling, weight 1;
+    rand_eddington_limb_darkening / rand_general_limb_darkening,
+    reference src/stellar_illumination.f90:57-163, used by
+    peeling_direct_stellar_illumination1 at :1001-1028)."""
+    if limb_model <= 0:
+        return jax.random.uniform(key, shape, jnp.float32)
+    if limb_model == 1:          # Lambertian: pdf = 2 mu
+        return jnp.sqrt(jax.random.uniform(key, shape, jnp.float32))
+    if limb_model == 2:          # Eddington: pdf = mu(1.5 mu + 1)
+        def pdf(mu):
+            return mu * (1.5 * mu + 1.0)
+        pmax = 2.5
+    else:                        # polynomial I(mu) = c0 + c1 mu + c2 mu^2
+        c0, c1, c2 = LIMB_COEFF
+        norm = c0 / 2.0 + c1 / 3.0 + c2 / 4.0
+
+        def pdf(mu):
+            return (c0 + c1 * mu + c2 * mu * mu) * mu / norm / 2.0
+        pmax = float(pdf(jnp.float32(1.0)))
+    acc = jnp.zeros(shape, bool)
+    out = jnp.ones(shape, jnp.float32)
+    for rnd in range(n_rounds):
+        xi = jax.random.uniform(jax.random.fold_in(key, rnd),
+                                (2,) + shape, jnp.float32)
+        take = jnp.logical_and(~acc, xi[1] * pmax < pdf(xi[0]))
+        out = jnp.where(take, xi[0], out)
+        acc = jnp.logical_or(acc, take)
+    return out
+
+
 def sample_stellar_illumination(key, par, rmax, shape, n_rounds: int = 8):
     """Finite star of radius R* at distance D illuminating a planet
     atmosphere of radius rmax (random_stellar_illumination1,

@@ -2301,7 +2301,8 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
         # direct peel of the newborn photon at full weight, BEFORE forced
         # first scattering reweighting (generate_photon.f90:336-339)
         if peel_direct is not None:
-            t = t._replace(peel=peel_direct(t.peel, grid, odev, s2, launch))
+            t = t._replace(peel=peel_direct(t.peel, grid, odev, s2, launch,
+                                            key=jax.random.fold_in(key, 991)))
         return s2, t
 
     return refill

@@ -133,3 +133,72 @@ def test_point_illumination_run():
     cfg, meta, acc = _run(par)
     assert abs(acc['jout'] / par.nphotons - 1.0) < 1e-3
     assert acc['ff'] > 0.0
+
+
+def test_stellar_disk_direct_peel_transit():
+    """Stellar-disk direct peel (peeling_direct_stellar_illumination1,
+    reference src/stellar_illumination.f90:953-1164): an observer behind
+    the planet sees the stellar disk in Direct0; the Direct cube is the
+    same disk attenuated where star->observer rays cross the atmosphere
+    (the transit signature), so sum(Direct) < sum(Direct0) and no pixel
+    gains."""
+    from lart_tpu import driver
+    par = Params(nphotons=1500, geometry='spherical_atmosphere',
+                 nx=25, ny=25, nz=25, xmax=1, ymax=1, zmax=1,
+                 rmax=1.0, rmin=0.0,
+                 taumax=50.0, temperature=1e4,
+                 xfreq_min=-20.0, xfreq_max=20.0,
+                 source_geometry='stellar_illumination',
+                 stellar_radius=20.0, distance_star_to_planet=500.0,
+                 stellar_limb_darkening=2,
+                 spectral_type='monochromatic',
+                 save_peeloff=True, save_peeloff_3D=True, save_direc0=True,
+                 obsx=(0.0,), obsy=(0.0,), obsz=(2000.0,),
+                 nxim=33, nyim=33,
+                 batch_size=1024, chunk_cycles=16)
+    res = driver.run(par, seed=3)
+    assert 'direc0' in res.peel
+    d0 = res.peel['direc0'][0].sum(axis=0)   # (nxim, nyim) disk image
+    d1 = res.peel['direc'][0].sum(axis=0)
+    assert d0.sum() > 0, 'no stellar disk in Direct0'
+    # attenuation only: Direct <= Direct0 everywhere, strictly less in the
+    # transit shadow of the tau=50 atmosphere
+    assert np.all(d1 <= d0 * (1 + 1e-6))
+    assert d1.sum() < 0.95 * d0.sum(), (d1.sum(), d0.sum())
+    # the stellar disk subtends ~arctan(Rs/d_so) -> a finite image blob,
+    # not a single pixel
+    assert (d0 > 0).sum() >= 4
+
+
+def test_stellar_illumination_amr():
+    """AMR illumination variants (random_stellar_illumination2_amr +
+    peeling_direct_stellar_illumination1_amr, reference
+    src/stellar_illumination.f90:1397-1782) collapse into the generic
+    sampler + amr_find_cell entry location here: an AMR sphere lit by a
+    finite star produces the same transit observables."""
+    import tempfile, os
+    from lart_tpu import driver
+    from lart_tpu.grid.amr import make_amr_sphere, write_generic_amr
+    data = make_amr_sphere(n_base=16, levels_extra=0, rmax=1.0, T=1e4)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, 's.h5')
+        write_generic_amr(path, data)
+        par = Params(nphotons=800, use_amr_grid=True, amr_file=path,
+                     rmax=1.0, taumax=50.0, temperature=1e4,
+                     xfreq_min=-20.0, xfreq_max=20.0,
+                     source_geometry='stellar_illumination',
+                     stellar_radius=20.0, distance_star_to_planet=500.0,
+                     stellar_limb_darkening=1,
+                     spectral_type='monochromatic',
+                     save_peeloff=True, save_peeloff_3D=True,
+                     save_direc0=True,
+                     obsx=(0.0,), obsy=(0.0,), obsz=(2000.0,),
+                     nxim=25, nyim=25,
+                     batch_size=512, chunk_cycles=16)
+        res = driver.run(par, seed=5)
+    d0 = res.peel['direc0'][0].sum(axis=0)
+    d1 = res.peel['direc'][0].sum(axis=0)
+    assert d0.sum() > 0
+    assert np.all(d1 <= d0 * (1 + 1e-6))
+    assert d1.sum() < 0.95 * d0.sum()
+    assert res.flux_factor > 0.0
