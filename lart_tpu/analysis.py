@@ -107,6 +107,7 @@ class LaRTOutput:
     r_JPa: Optional[np.ndarray] = None
     peel: List[PeelObservation] = field(default_factory=list)
     tau_maps: List[Dict] = field(default_factory=list)
+    clumps: Optional['ClumpsOutput'] = None
 
     # ------------------------------------------------------------------
     @property
@@ -323,6 +324,180 @@ class LaRTOutput:
 
 
 # ---------------------------------------------------------------------------
+
+@dataclass
+class ClumpsOutput:
+    """A clump-population file loaded into arrays + attributes
+    (ClumpsOutput, reference python/read_lart.py:220-623).  Standalone
+    (no run output required) or attached to a LaRTOutput via `clumps`."""
+    clumps_file: str
+    pos: np.ndarray = None            # (N, 3) centers, code units
+    radius: Optional[np.ndarray] = None
+    rhokap: Optional[np.ndarray] = None
+    vel: Optional[np.ndarray] = None
+    attrs: Dict = field(default_factory=dict)
+
+    def attr(self, name, default=None):
+        for k, v in self.attrs.items():
+            if k.upper() == name.upper():
+                return v
+        return default
+
+    @property
+    def n_clumps(self) -> int:
+        return len(self.pos)
+
+    @property
+    def sphere_r(self) -> float:
+        return float(self.attr('SPHERE_R', 0.0))
+
+    def compute_f_vol(self) -> float:
+        """Volume filling factor sum(4/3 pi r^3) / V_sphere (clump_mod.f90
+        population diagnostics; ignores overlap like the reference)."""
+        R = self.sphere_r
+        if not R or self.radius is None:
+            return float('nan')
+        return float(np.sum(self.radius ** 3) / R ** 3)
+
+    def compute_f_cov(self) -> float:
+        """Mean number of clumps per central sightline sum(pi r^2)/(4 R^2)."""
+        R = self.sphere_r
+        if not R or self.radius is None:
+            return float('nan')
+        return float(np.sum(self.radius ** 2) / (4.0 * R ** 2))
+
+    @property
+    def f_vol(self) -> float:
+        v = self.attr('F_VOL')
+        return float(v) if v is not None else self.compute_f_vol()
+
+    @property
+    def f_cov(self) -> float:
+        v = self.attr('F_COV')
+        return float(v) if v is not None else self.compute_f_cov()
+
+    def summary(self) -> str:
+        return "\n".join([
+            f"clumps file : {self.clumps_file}",
+            f"n_clumps    : {self.n_clumps}",
+            f"sphere_R    : {self.sphere_r:.4g}   "
+            f"r_min: {float(self.attr('R_MIN', 0.0)):.4g}",
+            f"radius      : mean {np.mean(self.radius):.4g}"
+            if self.radius is not None else "radius      : -",
+            f"f_vol       : {self.f_vol:.4g}   f_cov: {self.f_cov:.4g}",
+        ])
+
+    def plot_clump_slice(self, axis: str = 'z', coord: float = 0.0,
+                         ax=None, color_by: Optional[str] = 'rhokap',
+                         show: bool = False):
+        """Clumps intersecting the plane <axis>=coord, drawn as circles of
+        the chord radius (plot_clump_slice, read_lart.py:418-623)."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots(figsize=(6, 6))
+        iax = 'xyz'.index(axis)
+        jax_, kax = [i for i in range(3) if i != iax]
+        d = np.abs(self.pos[:, iax] - coord)
+        r = self.radius if self.radius is not None \
+            else np.full(self.n_clumps, float(self.attr('RCL', 0.0)))
+        sel = d < r
+        rr = np.sqrt(np.maximum(r[sel] ** 2 - d[sel] ** 2, 0.0))
+        cvals = None
+        if color_by is not None and getattr(self, color_by, None) is not None:
+            cvals = np.asarray(getattr(self, color_by))[sel]
+        from matplotlib.collections import PatchCollection
+        from matplotlib.patches import Circle
+        patches = [Circle((u, v), rad) for u, v, rad in
+                   zip(self.pos[sel, jax_], self.pos[sel, kax], rr)]
+        pc = PatchCollection(patches, alpha=0.6)
+        if cvals is not None:
+            pc.set_array(cvals)
+        ax.add_collection(pc)
+        R = self.sphere_r or np.abs(self.pos).max()
+        ax.set_xlim(-R, R)
+        ax.set_ylim(-R, R)
+        ax.set_aspect('equal')
+        ax.set_xlabel('xyz'[jax_])
+        ax.set_ylabel('xyz'[kax])
+        ax.set_title(f'{sel.sum()} clumps at {axis}={coord:g}')
+        if show:
+            plt.show()
+        return ax
+
+
+def read_clumps(path: str) -> ClumpsOutput:
+    """Load a clump population file (read_clumps, read_lart.py)."""
+    from .grid.clump import load_clumps
+    d = load_clumps(path)
+    return ClumpsOutput(clumps_file=path, pos=d['pos'],
+                        radius=d.get('radius'), rhokap=d.get('rhokap'),
+                        vel=d.get('vel'), attrs=d.get('attrs', {}))
+
+
+def check_flux(out, verbose: bool = True) -> Dict:
+    """Weight-conservation budget of a run (python/check_flux.py,
+    flux_check.py; Ly-beta budgets README_HOWTO.md:408-410).
+
+    Escaped + absorbed weight must equal the injected weight:
+      integral(Jout + Jabs [+ Jabs2]) dx * 4pi == 1 (per photon), and for
+      ly_beta runs W_esc1 + W_abs1 + W_conv == 1, W_esc2 + W_abs2 == W_conv.
+    Accepts a LaRTOutput or a filename.
+    """
+    if isinstance(out, str):
+        out = read_lart(out)
+    h = out.header
+    dx = float(h.get('dxfreq', out.xfreq[1] - out.xfreq[0]))
+    budget = {}
+
+    def tot(arr):
+        return float(np.sum(arr) * dx * 4.0 * np.pi) if arr is not None \
+            else 0.0
+    budget['F_esc'] = tot(out.Jout)
+    budget['F_abs'] = tot(out.Jabs)
+    budget['F_abs2'] = tot(out.Jabs2)
+    budget['F_in'] = tot(out.Jin)
+    closure = budget['F_esc'] + budget['F_abs'] + budget['F_abs2']
+    for k in ('W_esc1', 'W_abs1', 'W_conv', 'W_esc2', 'W_abs2',
+              'W_H2abs', 'W_H2scat'):
+        if h.get(k) is not None:
+            budget[k] = float(h[k])
+    if 'W_conv' in budget:
+        # band-1 budget closes to 1; band-2 (Ha) closes to W_conv
+        budget['closure_band1'] = (budget['W_esc1'] + budget['W_abs1']
+                                   + budget['W_conv'])
+        budget['closure_band2'] = (budget['W_esc2'] + budget['W_abs2']
+                                   - budget['W_conv'])
+        budget['closure'] = budget['closure_band1']
+    else:
+        budget['closure'] = closure
+    if verbose:
+        for k, v in budget.items():
+            print(f'  {k:15s}: {v:12.6g}')
+    return budget
+
+
+def peel_flux(out, iobs: int = 0) -> Dict:
+    """Total flux through a peel image by component, scaled to luminosity
+    units (python/check_flux.py logic: scale = 4pi d^2 dOmega_pix bin)."""
+    if isinstance(out, str):
+        out = read_lart(out)
+    p = out.peel[iobs]
+    hdr = p.header
+    dxim = float(hdr.get('CD1_1', 1.0))
+    dyim = float(hdr.get('CD2_2', 1.0))
+    dist_cm = float(hdr.get('DIST_CM', 1.0))
+    distance = float(hdr.get('DISTANCE', 1.0))
+    bin_unit = float(hdr.get('DXFREQ', 1.0))
+    flux_factor = float(hdr.get('FLUXFAC', 1.0))
+    scale = (4.0 * np.pi * (distance * dxim * np.pi / 180.0)
+             * (distance * dyim * np.pi / 180.0) * dist_cm ** 2 * bin_unit)
+    res = {'F_scatt': float(p.scatt.sum() * scale),
+           'F_direct': float(p.direc.sum() * scale),
+           'flux_factor': flux_factor}
+    res['F_total'] = res['F_scatt'] + res['F_direct']
+    res['F_transit'] = res['F_scatt'] * flux_factor + res['F_direct']
+    return res
+
 
 def _load_peel(path: str) -> PeelObservation:
     with open_read(path) as f:

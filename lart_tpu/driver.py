@@ -29,15 +29,26 @@ from .tally import RunResult, normalize
 from .transport import engine
 
 
-def run(par: Params, *, seed: Optional[int] = None,
-        progress: Optional[Callable[[int, int, int], None]] = None,
-        max_chunks: int = 1_000_000) -> RunResult:
-    """Run a full Monte Carlo transport simulation.
+class Prepared:
+    """Everything driver.run builds before the chunk loop: resolved config,
+    grid device arrays, observers, sources, mesh sharding and the jitted
+    sharded chunk.  Exposed so benchmarks (tools/bench_matrix.py, bench.py)
+    measure the exact production path without duplicating setup logic."""
 
-    par      : input parameters (e.g. Params.from_namelist('t1tau6.in'))
-    seed     : RNG seed (defaults to par.iseed)
-    progress : optional callback(launched, nphotons, alive)
-    """
+    __slots__ = ('cfg', 'meta', 'grid', 'cmeta', 'obs_meta', 'odev', 'src',
+                 'mesh', 'n_dev', 'budgets', 'state', 'n_shard', 'chunk',
+                 'amr')
+
+    def run_chunk(self, key):
+        """Advance the persistent batch by one jitted sharded chunk."""
+        self.state, tallies, alive, launched = self.chunk(
+            self.state, self.grid, key, self.n_shard, self.odev, self.src)
+        return tallies, alive, launched
+
+
+def prepare(par: Params, *, seed: Optional[int] = None) -> Prepared:
+    """Resolve config, build the grid/observers/sources on host, place
+    arrays on the mesh, and jit the sharded transport chunk."""
     enable_compilation_cache()
     cfg = par.resolve()
     cmeta = None
@@ -64,8 +75,8 @@ def run(par: Params, *, seed: Optional[int] = None,
                         attrs={'F_VOL': cmeta.f_vol, 'F_COV': cmeta.f_cov})
     elif par.use_amr_grid:
         from .grid.amr import build_amr
-        r = build_amr(cfg)
-        meta, grid = r.meta, r.dev
+        amr_res = build_amr(cfg)
+        meta, grid = amr_res.meta, amr_res.dev
     else:
         meta, grid = build_cartesian(cfg)
     if par.save_input_grid and meta.grid_type == 'cartesian':
@@ -79,8 +90,8 @@ def run(par: Params, *, seed: Optional[int] = None,
     host_data = {}
     if not par.use_amr_grid and not par.use_clump_medium:
         host_data['rhokap'] = np.asarray(grid.rhokap)
-    elif par.use_amr_grid and getattr(r, 'emissivity', None) is not None:
-        host_data['emissivity'] = r.emissivity
+    elif par.use_amr_grid and getattr(amr_res, 'emissivity', None) is not None:
+        host_data['emissivity'] = amr_res.emissivity
     src = build_sources(cfg, meta, host_data)
 
     m = pmesh.make_mesh(par.n_devices)
@@ -93,14 +104,45 @@ def run(par: Params, *, seed: Optional[int] = None,
     state = state._replace(n_launched=jnp.zeros((n_dev,), jnp.int32))
     state = pmesh.device_put_sharded_state(state, m)
     grid = pmesh.device_put_replicated(grid, m)
+    # per-device [photon budget, global pid offset]: contiguous id ranges
+    # per device (reference stripes ids across ranks,
+    # run_simulation_mod.f90:150); the offset keeps save_all_photons rows
+    # globally unique so the psum-merge of the allph table is exact
+    offsets = np.concatenate([[0], np.cumsum(budgets)[:-1]])
     n_shard = jax.device_put(
-        jnp.asarray(budgets, jnp.int32),
+        jnp.stack([jnp.asarray(budgets, jnp.int32),
+                   jnp.asarray(offsets, jnp.int32)], axis=1),
         jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec('data')))
 
     odev = pmesh.device_put_replicated(odev, m) if odev is not None else None
     src = pmesh.device_put_replicated(src, m) if src is not None else None
     chunk = pmesh.sharded_chunk(
         engine.make_chunk(cfg, meta, obs_meta, cmeta=cmeta), m)
+
+    p = Prepared()
+    p.cfg, p.meta, p.grid, p.cmeta = cfg, meta, grid, cmeta
+    p.obs_meta, p.odev, p.src = obs_meta, odev, src
+    p.mesh, p.n_dev, p.budgets = m, n_dev, budgets
+    p.state, p.n_shard, p.chunk = state, n_shard, chunk
+    p.amr = amr_res if par.use_amr_grid else None
+    return p
+
+
+def run(par: Params, *, seed: Optional[int] = None,
+        progress: Optional[Callable[[int, int, int], None]] = None,
+        max_chunks: int = 1_000_000) -> RunResult:
+    """Run a full Monte Carlo transport simulation.
+
+    par      : input parameters (e.g. Params.from_namelist('t1tau6.in'))
+    seed     : RNG seed (defaults to par.iseed)
+    progress : optional callback(launched, nphotons, alive)
+    """
+    p = prepare(par, seed=seed)
+    cfg, meta, cmeta = p.cfg, p.meta, p.cmeta
+    grid, obs_meta, odev, src = p.grid, p.obs_meta, p.odev, p.src
+    m, n_dev, budgets = p.mesh, p.n_dev, p.budgets
+    state, n_shard, chunk = p.state, p.n_shard, p.chunk
+    B = par.batch_size
 
     key0 = jax.random.PRNGKey(seed if seed is not None else par.iseed)
 
@@ -120,12 +162,6 @@ def run(par: Params, *, seed: Optional[int] = None,
         acc['flux_factor'] = 0.0
         acc['nrejected'] = 0.0
     if par.save_all_photons:
-        if n_dev > 1:
-            raise ValueError('save_all_photons currently requires a '
-                             'single-device run (global photon ids)')
-        if meta.grid_type != 'cartesian':
-            raise ValueError('save_all_photons is only supported on '
-                             'Cartesian grids')
         acc['allph'] = {}
     if cfg.line.line_type == 8:
         acc['Jout_Ha'] = np.zeros(meta.nxfreq, np.float64)
@@ -218,8 +254,10 @@ def run(par: Params, *, seed: Optional[int] = None,
         # exhausted, the batch only drains; compact the surviving lanes
         # into a 4x smaller batch so the tail does not run at full-batch
         # cost (the longest-lived photon takes ~ln(B) * <N_scatt> cycles).
+        # (multi-process runs skip shrinking: the shard pull-back to host
+        # would need a cross-process gather; the tail is a fixed small cost)
         if (launched >= nphotons and cur_B > min_B
-                and alive <= min_B * n_dev):
+                and alive <= min_B * n_dev and jax.process_count() == 1):
             # shrink in ONE jump: each distinct batch size costs a compile
             shrunk = _compact_shrink(state, n_dev, min_B, m)
             if shrunk is not None:

@@ -967,6 +967,7 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
     lt8 = cfg.line.line_type == 8
     R_Ha = par.cext_dust_Ha / par.cext_dust if par.cext_dust > 0 else 0.0
     save_Jmu = par.save_Jmu
+    save_allph = par.save_all_photons
     mu_min = 0.0 if par.xyz_symmetry else -1.0
     dmu = (1.0 - mu_min) / par.nmu
 
@@ -984,11 +985,13 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
 
         def body(carry):
             s, rec, n = carry
-            rec, (J1_c, Pn_c), b2c, ab2 = rec
+            rec, (J1_c, Pn_c), b2c, ab2, apr = rec
             if lt8:
                 esc_b2_r, esc_wall_r = b2c
             if meta.atmosphere:
                 ab2_ix_r, ab2_w_r = ab2
+            if save_allph:
+                ap_died_r, ap_xf2_r = apr
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
                  esc_mu_r, ffs_mu_r) = rec
@@ -1184,7 +1187,16 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
                 (esc_mu_r, ffs_mu_r) if save_Jmu else ())
             ab2_out = (ab2_ix_r, ab2_w_r) if meta.atmosphere else ab2
             b2_out = (esc_b2_r, esc_wall_r) if lt8 else b2c
-            return s2, (rec2, (J1_c, Pn_c), b2_out, ab2_out), n + 1
+            if save_allph:
+                # death rows for escapes and FFS-vacuum kills (allph table,
+                # output_sum_rect.f90:129-146)
+                newly_dead = jnp.logical_or(esc_fly, ffs_vacuum)
+                ap_died_r = jnp.logical_or(ap_died_r, newly_dead)
+                ap_xf2_r = jnp.where(
+                    newly_dead, jnp.where(ffs_vacuum, xfreq_lab_b,
+                                          xfreq_lab), ap_xf2_r)
+                apr = (ap_died_r, ap_xf2_r)
+            return s2, (rec2, (J1_c, Pn_c), b2_out, ab2_out, apr), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
@@ -1200,10 +1212,16 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             if lt8 else ()
         ab2_0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32)) \
             if meta.atmosphere else ()
+        ap_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32)) \
+            if save_allph else ()
         state, rec_jpa, _ = jax.lax.while_loop(
             cond, body,
-            (state, (rec0, (J1_0, Pn_0), b2_0, ab2_0), jnp.int32(0)))
-        rec, (J1_f, Pn_f), b2_f, ab2_f = rec_jpa
+            (state, (rec0, (J1_0, Pn_0), b2_0, ab2_0, ap_0), jnp.int32(0)))
+        rec, (J1_f, Pn_f), b2_f, ab2_f, ap_f = rec_jpa
+        if save_allph and tallies.allph is not None:
+            ap_died, ap_xf2 = ap_f
+            tallies = tallies._replace(allph=allph_record_death(
+                par, tallies.allph, state, ap_died, ap_xf2))
         if lt8:
             esc_b2, esc_wall = b2_f
         if tallies.Jabs2 is not None and meta.atmosphere:
@@ -2089,7 +2107,13 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
                n_shard, odev=None, src=None):
         s, t = state, tallies
         dead = s.phase == DEAD
-        remaining = (n_shard - s.n_launched)[0]
+        # n_shard is (1,) [budget] or (1, 2) [budget, global pid offset];
+        # the offset keeps save_all_photons pids globally unique across
+        # devices (each device owns a contiguous photon-id range, like the
+        # reference's rank striping, run_simulation_mod.f90:150)
+        ns_flat = n_shard.reshape(-1)
+        remaining = ns_flat[0] - s.n_launched[0]
+        pid_base = ns_flat[1] if ns_flat.shape[0] > 1 else jnp.int32(0)
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
         launch = jnp.logical_and(dead, rank < remaining)
         n_new = jnp.sum(launch.astype(jnp.int32))
@@ -2273,7 +2297,7 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
             bxfreq=w(xfreq, s.bxfreq),
             bkx=w(kx, s.bkx), bky=w(ky, s.bky), bkz=w(kz, s.bkz),
             vfy_shear=w(jnp.zeros(shape, jnp.float32), s.vfy_shear),
-            pid=w(s.n_launched[0] + rank, s.pid)
+            pid=w(pid_base + s.n_launched[0] + rank, s.pid)
             if par.save_all_photons else s.pid,
             nsg=w(jnp.zeros(shape, jnp.float32), s.nsg),
             nsd=w(jnp.zeros(shape, jnp.float32), s.nsd),

@@ -2,13 +2,16 @@
 
 Multi-chip sharding is validated on host CPU devices
 (xla_force_host_platform_device_count); the real-TPU path is exercised by
-bench.py and the driver's compile checks.
+bench.py, tools/acceptance.py and the driver's compile checks.
+
+NOTE: this image's sitecustomize force-registers the axon TPU plugin and
+sets jax_platforms='axon,cpu' in every process, overriding JAX_PLATFORMS
+from the environment -- so we must override the jax config itself, not
+just the env var.  Running tests on the tunneled TPU chip is both wrong
+(single device, no sharding coverage) and hazardous (concurrent clients
+wedge the tunnel).
 """
 
-import os
+from lart_tpu.utils.platform import force_cpu
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+force_cpu(8)

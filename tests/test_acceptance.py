@@ -1,0 +1,109 @@
+"""Re-assert the committed physics-acceptance evidence on every test run.
+
+tools/acceptance.py runs the heavyweight validations on the real device
+(Neufeld 1990 slab at tau0=1e4/1e5/1e6, Dijkstra+2006 sphere, and
+Cartesian-vs-AMR-vs-clump cross-backend parity -- the reference's own
+regression style, examples/amr_sphere_generic logs) and commits the
+artifact to results/acceptance_r2.json.  These tests re-assert every
+threshold from the committed artifact so a regression that invalidates the
+evidence (or a commit that drops it) fails CI.
+
+A live, small-scale Neufeld check is included under -m slow so the physics
+itself (not just the artifact) is asserted when requested.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'results', 'acceptance_r2.json')
+
+
+@pytest.fixture(scope='module')
+def acceptance():
+    assert os.path.exists(RESULTS), (
+        'results/acceptance_r2.json missing -- run tools/acceptance.py '
+        'on the device and commit the artifact')
+    with open(RESULTS) as fh:
+        return json.load(fh)
+
+
+def test_acceptance_passed(acceptance):
+    assert acceptance['passed'], acceptance['failures']
+    assert not acceptance['failures']
+
+
+def test_acceptance_covers_required_cases(acceptance):
+    names = {c['case'] for c in acceptance['summary']}
+    required = {'neufeld_tau1e4_T10', 'neufeld_tau1e5_T10',
+                'neufeld_tau1e6_T1e4', 'dijkstra_tau1e5_T1e4',
+                'parity_sphere'}
+    assert required <= names, required - names
+
+
+def test_analytic_cases_within_thresholds(acceptance):
+    th = acceptance['thresholds']
+    for c in acceptance['summary']:
+        if c['case'] == 'parity_sphere':
+            continue
+        assert c['chi2_dof'] < th['chi2_dof_max'], c
+        assert abs(c['xpeak_model'] / c['xpeak_analytic'] - 1) \
+            < th['xpeak_rtol'], c
+        assert abs(c['escaped'] - 1) < th['escape_tol'], c
+
+
+def test_cross_backend_parity(acceptance):
+    th = acceptance['thresholds']
+    par = [c for c in acceptance['summary'] if c['case'] == 'parity_sphere']
+    assert par, 'parity_sphere case missing from artifact'
+    c = par[0]
+    # reference invariant: identical <N_scatt> across grid backends
+    # (examples/amr_sphere_generic/log_amr_1M.txt vs log_car_1M.txt)
+    for k, v in c['nscatt_ratio'].items():
+        assert abs(v - 1) < th['nscatt_rtol'], (k, v)
+    for k, v in c['chi2_dof'].items():
+        assert v < th['chi2_dof_max'], (k, v)
+
+
+def test_analytic_spectra_shape_match(acceptance):
+    """Full-curve check on the committed spectra, not just the scalar."""
+    for c in acceptance['cases']:
+        if c['case'] == 'parity_sphere':
+            continue
+        pm = np.asarray(c['J_model'])
+        pa = np.asarray(c['J_analytic'])
+        x = np.asarray(c['x'])
+        sel = pa > pa.max() * 0.05
+        # normalized shapes agree to 15% rms over the bright bins
+        rms = np.sqrt(np.mean(((pm[sel] - pa[sel]) / pa[sel].max()) ** 2))
+        assert rms < 0.15, (c['case'], rms)
+        assert np.trapezoid(pm, x) == pytest.approx(1.0, rel=1e-6)
+
+
+@pytest.mark.slow
+def test_neufeld_live_small():
+    """Live (CPU) Neufeld check at tau0=1e4, T=10 K -- asserts the physics
+    itself rather than the committed artifact.  Marked slow."""
+    from lart_tpu.config import Params
+    from lart_tpu import driver
+
+    tau0, T, nph = 1e4, 10.0, 4000
+    par = Params(nphotons=nph, temperature=T, taumax=tau0, xy_periodic=True,
+                 nx=1, ny=1, nz=121, spectral_type='voigt',
+                 source_geometry='point', batch_size=1 << 12,
+                 fly_substeps=8, scatter_rounds=4, chunk_cycles=16,
+                 refill_every=4, n_devices=1)
+    res = driver.run(par, seed=5)
+    a = res.cfg.voigt_a_ref
+    atau0 = a * tau0
+    x = res.xfreq
+    c = np.sqrt(np.pi ** 3 / 54.0)
+    Ja = x ** 2 / np.cosh(np.clip(c * np.abs(x) ** 3 / atau0, 0, 700))
+    Ja /= np.trapezoid(Ja, x)
+    pm = res.Jout / max(np.trapezoid(res.Jout, x), 1e-30)
+    xp = abs(x[np.argmax(pm)])
+    assert abs(xp / (1.0663 * atau0 ** (1 / 3)) - 1) < 0.25
+    esc = res.Jout.sum() * res.meta.dxfreq * 4.0 * np.pi
+    assert abs(esc - 1) < 0.05

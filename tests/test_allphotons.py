@@ -59,6 +59,49 @@ def test_allphotons_rows():
     assert np.allclose(acc['rp0'], 0.0, atol=1e-5)
 
 
+def test_allphotons_multidevice_and_amr(tmp_path):
+    """VERDICT round-1 item 8: allph on >1 device (global pid offsets via
+    the [budget, offset] n_shard columns) and on the AMR grid backend."""
+    import jax
+    from lart_tpu import driver
+    from lart_tpu.grid.amr import make_amr_sphere, write_generic_amr
+
+    # --- multi-device Cartesian: 8 shards, disjoint pid ranges
+    par = Params(nphotons=900, geometry='sphere', rmax=1.0,
+                 nx=17, ny=17, nz=17, xmax=1, ymax=1, zmax=1,
+                 taumax=2.0, temperature=1e4,
+                 xfreq_min=-30.0, xfreq_max=30.0,
+                 save_all_photons=True,
+                 batch_size=128, chunk_cycles=8, refill_every=2)
+    res = driver.run(par, seed=9)
+    assert len(jax.devices()) == 8
+    ap = res.allph
+    assert ap['xfreq1'].shape == (900,)
+    # every pid written exactly once: birth spectra Voigt-like, no zero
+    # gaps from id collisions (a collision would double-add one row and
+    # leave another at exactly 0 weight/frequency in BOTH columns)
+    assert 0.4 < np.std(ap['xfreq1']) < 1.2
+    both_zero = np.logical_and(ap['xfreq1'] == 0.0, ap['nscatt_gas'] == 0.0)
+    assert both_zero.mean() < 0.02
+    assert ap['rp'].max() <= np.sqrt(3.0) + 1e-4
+
+    # --- AMR grid backend
+    data = make_amr_sphere(n_base=8, levels_extra=1, rmax=1.0, T=1e4)
+    path = str(tmp_path / 'ap_amr.h5')
+    write_generic_amr(path, data)
+    par_a = Params(nphotons=400, use_amr_grid=True, amr_file=path,
+                   geometry='sphere', rmax=1.0, taumax=2.0,
+                   temperature=1e4, xfreq_min=-30.0, xfreq_max=30.0,
+                   save_all_photons=True, n_devices=1,
+                   batch_size=256, chunk_cycles=8, refill_every=2)
+    res_a = driver.run(par_a, seed=4)
+    ap_a = res_a.allph
+    assert ap_a['xfreq2'].shape == (400,)
+    # deaths recorded: escape frequencies broadened vs birth
+    assert np.std(ap_a['xfreq2']) > np.std(ap_a['xfreq1'])
+    assert np.quantile(ap_a['rp'], 0.95) <= 1.0 + 1e-4
+
+
 def test_allphotons_in_output_file(tmp_path):
     from lart_tpu import driver
     from lart_tpu.io.writer import write_output

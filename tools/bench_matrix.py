@@ -1,0 +1,124 @@
+"""Throughput bench matrix over every BASELINE.json config class.
+
+BENCH_r01 covered only the Neufeld slab; BASELINE.json lists five workload
+classes (slab, sphere+peel+Stokes, overlapping clumps, metal
+resonance+fluorescence lines, octree AMR).  This measures steady-state
+gas-scattering throughput per chip on each, via the exact production path
+(driver.prepare -> jitted sharded chunk), and reports the peel-off kernel
+share by differencing sphere runs with and without peeling (the peel is the
+dominant cost when enabled -- SURVEY.md section 3.2).
+
+Writes results/bench_matrix_r2.json.  Reference aggregate anchor: 5.3e7
+scatterings/s over a 4-node cluster (~288 ranks => ~1.84e5/s/rank),
+examples/sphere_peel/out.txt.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_RANK_RATE = 1.84e5   # gas scatterings/s per MPI rank (BASELINE.md)
+
+
+def bench_config(name, par, *, warm_chunks=3, timed_chunks=6, seed=12345):
+    import jax
+    from lart_tpu import driver
+
+    t_setup = time.time()
+    p = driver.prepare(par)
+    key0 = jax.random.PRNGKey(seed)
+    for i in range(warm_chunks):
+        tl, alive, launched = p.run_chunk(jax.random.fold_in(key0, i))
+        jax.block_until_ready(tl)
+    compile_s = time.time() - t_setup
+
+    t0 = time.time()
+    ns = 0.0
+    for i in range(warm_chunks, warm_chunks + timed_chunks):
+        tl, alive, launched = p.run_chunk(jax.random.fold_in(key0, i))
+        ns += float(tl.nscatt_gas)
+    jax.block_until_ready(tl)
+    dt = time.time() - t0
+
+    rate = ns / dt / p.n_dev
+    out = {'config': name, 'scatt_per_s_chip': rate,
+           'vs_reference_rank': rate / REFERENCE_RANK_RATE,
+           'nscatt_timed': ns, 'wall_s': dt, 'setup_compile_s': compile_s,
+           'n_dev': p.n_dev, 'batch_size': par.batch_size,
+           'grid_type': p.meta.grid_type}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    from lart_tpu.config import Params
+
+    os.makedirs('results', exist_ok=True)
+    engine_kw = dict(nphotons=1_000_000_000, batch_size=1 << 17,
+                     fly_substeps=8, scatter_rounds=4, chunk_cycles=32,
+                     refill_every=4)
+    rows = []
+
+    # 1. north star: Neufeld slab tau0=1e6 (examples/slab/t1tau6.in)
+    rows.append(bench_config('slab_tau1e6', Params(
+        temperature=1e4, taumax=1e6, xy_periodic=True, nx=1, ny=1, nz=201,
+        spectral_type='voigt', source_geometry='point', **engine_kw)))
+
+    # 2a/2b. uniform sphere tau0=1e4 with and without 129x129 Stokes
+    # peel-off (examples/sphere_peel/t4tau4_peel.in); the difference is the
+    # peel-kernel share.
+    sphere_kw = dict(temperature=1e4, taumax=1e4, geometry='sphere',
+                     rmax=1.0, nx=129, ny=129, nz=129,
+                     spectral_type='voigt', source_geometry='point',
+                     core_skip=True, **engine_kw)
+    rows.append(bench_config('sphere_tau1e4_nopeel', Params(**sphere_kw)))
+    rows.append(bench_config('sphere_tau1e4_peel_stokes', Params(
+        save_peeloff=True, use_stokes=True, nxim=129, nyim=129,
+        alpha=(0.0,), beta=(0.0,), gamma=(0.0,), distance=100.0,
+        **sphere_kw)))
+    r_no, r_pe = rows[-2], rows[-1]
+    peel_share = 1.0 - (r_pe['scatt_per_s_chip'] / r_no['scatt_per_s_chip'])
+    print(json.dumps({'peel_kernel_share': peel_share}), flush=True)
+
+    # 3. overlapping clumpy sphere (examples/clump_sphere)
+    rows.append(bench_config('clump_overlap', Params(
+        use_clump_medium=True, clump_allow_overlap=True,
+        clump_fully_inside=False, geometry='sphere', rmax=1.0,
+        clump_radius=0.08, clump_f_vol=0.1, clump_tau0=10.0,
+        temperature=1e4, xfreq_min=-40.0, xfreq_max=40.0,
+        spectral_type='voigt', source_geometry='point', **engine_kw)))
+
+    # 4. metal resonance+fluorescence: FeII UV1 multiplet with dust
+    # (BASELINE config "SiII/FeII metal lines with Mueller-matrix dust")
+    rows.append(bench_config('feii_uv1_dust', Params(
+        line_id='FeII_2600', temperature=1e4, taumax=10.0, DGR=3e-4,
+        geometry='sphere', rmax=1.0, nx=65, ny=65, nz=65,
+        velocity_type='hubble', vmax=300.0,
+        spectral_type='voigt', source_geometry='point', **engine_kw)))
+
+    # 5. octree-AMR sphere (examples/amr_sphere); measures the
+    # neighbor-walk gather kernel (VERDICT round-1 item 10)
+    import tempfile
+    from lart_tpu.grid.amr import make_amr_sphere, write_generic_amr
+    data = make_amr_sphere(n_base=32, levels_extra=2, rmax=1.0, T=1e4)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, 'bench_amr_sphere.h5')
+        write_generic_amr(path, data)
+        rows.append(bench_config('amr_sphere_tau1e4', Params(
+            use_amr_grid=True, amr_file=path, geometry='sphere',
+            taumax=1e4, temperature=1e4, rmax=1.0, core_skip=True,
+            spectral_type='voigt', source_geometry='point', **engine_kw)))
+
+    payload = {'reference_rank_rate': REFERENCE_RANK_RATE,
+               'peel_kernel_share': peel_share, 'rows': rows}
+    with open('results/bench_matrix_r2.json', 'w') as fh:
+        json.dump(payload, fh, indent=1)
+    print('wrote results/bench_matrix_r2.json', flush=True)
+
+
+if __name__ == '__main__':
+    main()

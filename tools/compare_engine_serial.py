@@ -1,6 +1,8 @@
 """Engine-vs-golden-model parity comparison on the static slab."""
 import os, sys
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from lart_tpu.utils.platform import force_cpu
+force_cpu(8)
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
     " --xla_force_host_platform_device_count=8"
 import time

@@ -3,7 +3,9 @@
 Also exercises the xyz_symmetry reflecting boundaries when --sym is given.
 """
 import os, sys
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from lart_tpu.utils.platform import force_cpu
+force_cpu(8)
 import time
 import numpy as np
 

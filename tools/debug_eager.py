@@ -1,6 +1,8 @@
 """Step the engine eagerly at tiny scale to find logic errors."""
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from lart_tpu.utils.platform import force_cpu
+force_cpu(8)
 
 import numpy as np
 import jax

@@ -8,7 +8,9 @@ Physics checks:
    peel spectrum shape == Jout spectrum shape (within MC noise).
 """
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from lart_tpu.utils.platform import force_cpu
+force_cpu(8)
 import numpy as np
 import time
 from lart_tpu.config import Params
