@@ -37,6 +37,30 @@ import jax
 _initialized = False
 
 
+def _runtime_already_wired() -> bool:
+    """True iff jax.distributed.initialize has already run in this process.
+
+    Checked WITHOUT calling jax.process_count()/jax.devices(): those
+    initialize the XLA backend, after which jax.distributed.initialize
+    raises ('must be called before any JAX calls that might initialise
+    the XLA backend').  The distributed client handle is the only safe
+    signal."""
+    try:
+        from jax._src.distributed import global_state
+        return global_state.client is not None
+    except Exception:
+        return False
+
+
+def _looks_like_tpu_pod() -> bool:
+    """Environment-only TPU-pod sniff (safe before backend init)."""
+    if 'cpu' in os.environ.get('JAX_PLATFORMS', '').lower():
+        return False
+    tpu_hints = ('TPU_WORKER_HOSTNAMES', 'TPU_WORKER_ID',
+                 'CLOUD_TPU_TASK_ID', 'MEGASCALE_COORDINATOR_ADDRESS')
+    return any(k in os.environ for k in tpu_hints)
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
@@ -50,7 +74,7 @@ def initialize(coordinator_address: Optional[str] = None,
     variables).  Single-process runs may skip calling this entirely.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if _initialized or _runtime_already_wired():
         _initialized = True
         return
     coordinator_address = coordinator_address \
@@ -60,9 +84,11 @@ def initialize(coordinator_address: Optional[str] = None,
     if process_id is None and 'LART_PROC_ID' in os.environ:
         process_id = int(os.environ['LART_PROC_ID'])
     if coordinator_address is None and num_processes is None \
-            and process_id is None \
-            and jax.default_backend() not in ('tpu',):
-        # nothing to wire together: plain single-process CPU/GPU run
+            and process_id is None and not _looks_like_tpu_pod():
+        # nothing to wire together: plain single-process CPU/GPU run.
+        # (Detected from the environment, NOT jax.default_backend() --
+        # that call would initialise the XLA backend and make the
+        # jax.distributed.initialize below unusable.)
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

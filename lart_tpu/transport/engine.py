@@ -2495,6 +2495,7 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
     EPS = jnp.float32(1e-4 * float(cmeta.cg_dx) / max(cmeta.cg_n, 1)
                       + 1e-6 * R)
     save_Jmu = par.save_Jmu
+    save_allph = par.save_all_photons
     mu_min = -1.0
     dmu = (1.0 - mu_min) / par.nmu
     lt8 = cfg.line.line_type == 8
@@ -2665,7 +2666,9 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
 
         def body(carry):
             s, recs, n = carry
-            rec, (esc_b2_r, esc_wall_r) = recs
+            rec, (esc_b2_r, esc_wall_r), apr = recs
+            if save_allph:
+                ap_died_r, ap_xf2_r = apr
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
                  esc_mu_r, ffs_mu_r) = rec
@@ -2783,7 +2786,16 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
                     s.tau_target))
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
                 (esc_mu_r, ffs_mu_r) if save_Jmu else ())
-            return s2, (rec2, (esc_b2_r, esc_wall_r)), n + 1
+            if save_allph:
+                # escape / FFS-vacuum death rows (all_photons table;
+                # reference output_sum_rect.f90:129-146)
+                newly_dead = jnp.logical_or(esc_fly, ffs_vacuum)
+                ap_died_r = jnp.logical_or(ap_died_r, newly_dead)
+                ap_xf2_r = jnp.where(
+                    newly_dead, jnp.where(ffs_vacuum, s.bxfreq, s.xfreq),
+                    ap_xf2_r)
+                apr = (ap_died_r, ap_xf2_r)
+            return s2, (rec2, (esc_b2_r, esc_wall_r), apr), n + 1
 
         B = state.x.shape[0]
         rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
@@ -2792,9 +2804,15 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
                            jnp.zeros((B,), jnp.int32))
         b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
+        ap_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32)) \
+            if save_allph else ()
         state, recs, _ = jax.lax.while_loop(
-            cond, body, (state, (rec0, b2_0), jnp.int32(0)))
-        rec, _b2 = recs
+            cond, body, (state, (rec0, b2_0, ap_0), jnp.int32(0)))
+        rec, _b2, ap_f = recs
+        if save_allph and tallies.allph is not None:
+            ap_died, ap_xf2 = ap_f
+            tallies = tallies._replace(allph=allph_record_death(
+                par, tallies.allph, state, ap_died, ap_xf2))
         esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
         Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
         tallies = tallies._replace(Jout=Jout)

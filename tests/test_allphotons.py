@@ -102,6 +102,31 @@ def test_allphotons_multidevice_and_amr(tmp_path):
     assert np.quantile(ap_a['rp'], 0.95) <= 1.0 + 1e-4
 
 
+def test_allphotons_clump(tmp_path):
+    """Clump-medium allph: escape deaths must be recorded (ADVICE r2:
+    make_fly_clump previously had no death-recording carry, so xfreq2 and
+    nscatt-at-death silently stayed zero)."""
+    from lart_tpu import driver
+    from lart_tpu.grid.clump import save_clumps
+
+    cpath = str(tmp_path / 'one_clump.h5')
+    save_clumps(cpath, np.zeros((1, 3)), np.array([1.0]), sphere_R=1.0)
+    par = Params(nphotons=400, use_clump_medium=True,
+                 clump_input_file=cpath, clump_tau0=5.0,
+                 geometry='sphere', rmax=1.0, temperature=1e4,
+                 xfreq_min=-30.0, xfreq_max=30.0,
+                 save_all_photons=True, n_devices=1,
+                 batch_size=256, chunk_cycles=8, refill_every=2)
+    res = driver.run(par, seed=11)
+    ap = res.allph
+    assert ap['xfreq2'].shape == (400,)
+    # deaths actually recorded: resonant scattering broadens the escape
+    # frequencies, and the scattering counters are nonzero at tau0=5
+    assert np.std(ap['xfreq2']) > np.std(ap['xfreq1'])
+    assert ap['nscatt_gas'].mean() > 0.5
+    assert np.quantile(ap['rp'], 0.95) <= 1.0 + 1e-4
+
+
 def test_allphotons_in_output_file(tmp_path):
     from lart_tpu import driver
     from lart_tpu.io.writer import write_output

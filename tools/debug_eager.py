@@ -1,5 +1,6 @@
 """Step the engine eagerly at tiny scale to find logic errors."""
 import os
+import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lart_tpu.utils.platform import force_cpu
 force_cpu(8)

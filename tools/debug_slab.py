@@ -1,5 +1,6 @@
 """Interactive debug: small Neufeld slab run on CPU devices."""
 import os
+import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lart_tpu.utils.platform import force_cpu
 force_cpu(8)

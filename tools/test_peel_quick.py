@@ -8,6 +8,7 @@ Physics checks:
    peel spectrum shape == Jout spectrum shape (within MC noise).
 """
 import os
+import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lart_tpu.utils.platform import force_cpu
 force_cpu(8)
