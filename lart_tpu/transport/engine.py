@@ -2447,17 +2447,7 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
 
         def body(i, carry):
             st, tl = carry
-            k = jax.random.fold_in(key, i)
-            k1, k2 = jax.random.split(k)
-            # refill only every refill_every-th cycle (dead lanes wait at
-            # most refill_every cycles; refill is ~20% of cycle cost)
-            st, tl = jax.lax.cond(
-                i % refill_every == 0,
-                lambda st, tl: refill(st, grid, tl, k1, n_shard, odev,
-                                      src),
-                lambda st, tl: (st, tl), st, tl)
-            st, tl = fly(st, grid, tl, cfg.par.fly_substeps)
-            st, tl = scatter(st, grid, tl, k2, odev)
+            st, tl = cycle(i, st, grid, tl, key, n_shard, odev, src)
             return st, tl
 
         state, tallies = jax.lax.fori_loop(0, n_cycles, body,
@@ -2465,6 +2455,25 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
         alive = jnp.sum((state.phase != DEAD).astype(jnp.int32))
         return state, tallies, alive, state.n_launched[0]
 
+    def cycle(i, st, grid, tl, key, n_shard, odev=None, src=None):
+        """ONE refill/fly/scatter cycle, exactly as executed at iteration
+        `i` of the chunk's fori_loop (identical fold_in stream) -- exposed
+        so tests can flush tallies to host f64 between cycles and bound
+        the f32 in-chunk accumulation error (the reference mandates f64
+        for the J/Pa deposit arrays, define.f90:203-205)."""
+        k = jax.random.fold_in(key, i)
+        k1, k2 = jax.random.split(k)
+        # refill only every refill_every-th cycle (dead lanes wait at
+        # most refill_every cycles; refill is ~20% of cycle cost)
+        st, tl = jax.lax.cond(
+            i % refill_every == 0,
+            lambda st, tl: refill(st, grid, tl, k1, n_shard, odev, src),
+            lambda st, tl: (st, tl), st, tl)
+        st, tl = fly(st, grid, tl, cfg.par.fly_substeps)
+        st, tl = scatter(st, grid, tl, k2, odev)
+        return st, tl
+
+    chunk.cycle = cycle
     return chunk
 
 
