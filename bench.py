@@ -27,6 +27,7 @@ def main():
     from lart_tpu.parallel import mesh as pmesh
     from lart_tpu.transport import engine
     from lart_tpu.utils.cache import enable_compilation_cache
+    from lart_tpu.utils.transfer import to_host_scalar
 
     enable_compilation_cache()
     n_dev = len(jax.devices())
@@ -70,7 +71,7 @@ def main():
         state, tallies, alive, launched = chunk(state, grid,
                                                 jax.random.fold_in(key0, i),
                                                 n_shard, None, None)
-        nscatt += float(tallies.nscatt_gas)
+        nscatt += to_host_scalar(tallies.nscatt_gas)
     jax.block_until_ready(tallies)
     dt = time.time() - t0
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .config import Params, ResolvedConfig
 from .utils.cache import enable_compilation_cache
+from .utils.transfer import to_host, to_host_scalar, tree_to_host
 from .grid.cartesian import build_cartesian
 from .instruments.observer import build_observers
 from .parallel import mesh as pmesh
@@ -61,16 +62,16 @@ def prepare(par: Params, *, seed: Optional[int] = None) -> Prepared:
             from .grid.clump import save_clumps
             from .io.writer import output_filename
             base, _ = os.path.splitext(output_filename(par))
-            pos = np.stack([np.asarray(grid.x), np.asarray(grid.y),
-                            np.asarray(grid.z)], axis=1)
+            pos = np.stack([to_host(grid.x), to_host(grid.y),
+                            to_host(grid.z)], axis=1)
             from .config import vtherm_total as _vt
             T_cl = par.clump_temperature if par.clump_temperature > 0 \
                 else par.temperature
-            vel = np.stack([np.asarray(grid.vx), np.asarray(grid.vy),
-                            np.asarray(grid.vz)], axis=1) \
+            vel = np.stack([to_host(grid.vx), to_host(grid.vy),
+                            to_host(grid.vz)], axis=1) \
                 * _vt(par, cfg.line, T_cl)
-            save_clumps(base + '_clumps.h5', pos, np.asarray(grid.radius),
-                        rhokap=np.asarray(grid.rhokap), vel=vel,
+            save_clumps(base + '_clumps.h5', pos, to_host(grid.radius),
+                        rhokap=to_host(grid.rhokap), vel=vel,
                         sphere_R=par.rmax, rmin=max(par.rmin, 0.0),
                         attrs={'F_VOL': cmeta.f_vol, 'F_COV': cmeta.f_cov})
     elif par.use_amr_grid:
@@ -89,7 +90,7 @@ def prepare(par: Params, *, seed: Optional[int] = None) -> Prepared:
     from .physics.sources import build_sources
     host_data = {}
     if not par.use_amr_grid and not par.use_clump_medium:
-        host_data['rhokap'] = np.asarray(grid.rhokap)
+        host_data['rhokap'] = to_host(grid.rhokap)
     elif par.use_amr_grid and getattr(amr_res, 'emissivity', None) is not None:
         host_data['emissivity'] = amr_res.emissivity
     src = build_sources(cfg, meta, host_data)
@@ -197,7 +198,7 @@ def run(par: Params, *, seed: Optional[int] = None,
         key = jax.random.fold_in(key0, ci)
         state, tallies, alive, launched = chunk(state, grid, key, n_shard,
                                                 odev, src)
-        tl = jax.tree_util.tree_map(np.asarray, tallies)
+        tl = tree_to_host(tallies)
         acc['Jin'] += tl.Jin
         acc['Jout'] += tl.Jout
         acc['Jabs'] += tl.Jabs
@@ -244,8 +245,8 @@ def run(par: Params, *, seed: Optional[int] = None,
                 acc['peel_Ha'] += tl.peel.Ha
             if 'peel_direc0' in acc:
                 acc['peel_direc0'] += tl.peel.direc0
-        alive = int(alive)
-        launched = int(launched)
+        alive = int(to_host_scalar(alive))
+        launched = int(to_host_scalar(launched))
         if progress is not None:
             progress(launched, nphotons, alive)
         if launched >= nphotons and alive == 0:
@@ -286,8 +287,8 @@ def _dump_input_grid(cfg, meta, grid):
     import os
     par, line = cfg.par, cfg.line
     base, _ = os.path.splitext(output_filename(par))
-    rk = np.asarray(grid.rhokap, np.float64)
-    Df = np.asarray(grid.Dfreq, np.float64) if grid.Dfreq is not None \
+    rk = to_host(grid.rhokap, np.float64)
+    Df = to_host(grid.Dfreq, np.float64) if grid.Dfreq is not None \
         else np.full_like(rk, meta.Dfreq_ref)
     d2cm = par.distance2cm if par.distance2cm > 0 else 1.0
     T = (Df * (line.wavelength0 * 1e-9)) ** 2 / line.vtherm1 ** 2 \
@@ -298,7 +299,7 @@ def _dump_input_grid(cfg, meta, grid):
     for nm, arr in (('vfx', grid.vfx), ('vfy', grid.vfy),
                     ('vfz', grid.vfz)):
         if arr is not None:
-            out[nm] = np.asarray(arr, np.float64) * vth
+            out[nm] = to_host(arr, np.float64) * vth
     for nm, arr in out.items():
         with h5py.File(f'{base}_{nm}.h5', 'w') as f:
             f.create_dataset('data', data=np.asarray(arr, np.float32))
@@ -308,7 +309,7 @@ def _compact_shrink(state, n_dev, B_new, mesh):
     """Compact alive lanes to the front of each device shard and truncate
     to B_new lanes/device.  Returns None if any shard still has more than
     B_new alive lanes (caller keeps the current size)."""
-    host = jax.tree_util.tree_map(np.asarray, state)
+    host = tree_to_host(state)
     phase = host.phase.reshape(n_dev, -1)
     dead = (phase == engine.DEAD)
     if np.any((~dead).sum(axis=1) > B_new):

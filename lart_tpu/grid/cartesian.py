@@ -149,11 +149,26 @@ def build_cartesian(cfg: ResolvedConfig):
         coord = Z if atm == 1 else rr3_flat
         return np.interp(coord, ax, val, left=val[0], right=0.0)
 
+    def _is_text(path):
+        return path.rsplit('.', 1)[-1].lower() in ('txt', 'dat')
+
+    def grid_3d(path, what):
+        """3-D FITS/HDF5 grid array (read_3D, read_grid_data.f90:21-140);
+        must match the declared (nx, ny, nz)."""
+        from ..io.reader import read_3d_any
+        arr = read_3d_any(path)
+        if arr.shape != (nx, ny, nz):
+            raise ValueError(
+                f'{what} file {path}: shape {arr.shape} != grid '
+                f'({nx}, {ny}, {nz})')
+        return arr
+
     # --- (1) temperature and Doppler widths
     T = np.full((nx, ny, nz), par.temperature, np.float64)
     uniform_T = True
-    if temp_file and temp_file.rsplit('.', 1)[-1] in ('txt', 'dat'):
-        T = profile_1d(temp_file)
+    if temp_file:
+        T = profile_1d(temp_file) if _is_text(temp_file) \
+            else grid_3d(temp_file, 'temperature')
         T[T <= 0.0] = par.temperature
         uniform_T = False
     if not uniform_T:
@@ -169,8 +184,9 @@ def build_cartesian(cfg: ResolvedConfig):
     rho = np.ones((nx, ny, nz), np.float64)
     geom = par.geometry.strip().lower()
     mask_arr = None
-    if dens_file and dens_file.rsplit('.', 1)[-1] in ('txt', 'dat'):
-        rho = profile_1d(dens_file)
+    if dens_file:
+        rho = profile_1d(dens_file) if _is_text(dens_file) \
+            else grid_3d(dens_file, 'density')
     if atm == 2 and par.rmin > 0.0:
         mask_arr = (rr3_flat <= par.rmin)
     rr3 = np.sqrt(X * X + Y * Y + Z * Z)
@@ -313,7 +329,7 @@ def build_cartesian(cfg: ResolvedConfig):
     vt = vtherm
     vfx = vfy = vfz = None
     vtype = par.velocity_type.strip().lower()
-    if velo_file and velo_file.rsplit('.', 1)[-1] in ('txt', 'dat'):
+    if velo_file and _is_text(velo_file):
         prof = profile_1d(velo_file)
         if atm == 1:
             vfx = np.zeros_like(rho)
@@ -325,6 +341,18 @@ def build_cartesian(cfg: ResolvedConfig):
             vfx = fac * X
             vfy = fac * Y
             vfz = fac * Z
+    elif velo_file:
+        # 3-component (x,y,z,3) velocity cube in km/s (read_velocity,
+        # read_grid_data.f90:142-244; stored (nz,ny,nx,3) on disk)
+        from ..io.reader import read_velocity_any
+        v3 = read_velocity_any(velo_file)
+        if v3.shape != (nx, ny, nz, 3):
+            raise ValueError(
+                f'velocity file {velo_file}: shape {v3.shape} != '
+                f'({nx}, {ny}, {nz}, 3)')
+        vfx = v3[..., 0] / vt
+        vfy = v3[..., 1] / vt
+        vfz = v3[..., 2] / vt
     elif vtype:
         vfx = np.zeros_like(rho)
         vfy = np.zeros_like(rho)

@@ -18,6 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.transfer import to_host
+
 from ..config import ResolvedConfig
 from ..grid.cartesian import GridMeta
 from .observer import ObserverDevice, ObserverSetMeta
@@ -135,8 +137,8 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
     def ray_origins(odev: ObserverDevice, iobs: int):
         """Pixel-center rays from the observer, clipped to the box entry
         point (sightline_tau_rect.f90:44-75)."""
-        R = np.asarray(odev.rmat[iobs])
-        pos = np.asarray(odev.pos[iobs])
+        R = to_host(odev.rmat[iobs])
+        pos = to_host(odev.pos[iobs])
         ii, jj = np.meshgrid(np.arange(obs.nxim), np.arange(obs.nyim),
                              indexing='ij')
         ang_x = (ii + 0.5 - obs.nxim / 2.0) * obs.dxim / RAD2DEG
@@ -170,11 +172,11 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
         ('from the distant universe toward Earth',
         sightline_tau_heal.f90:33-112).  Returns (start, k, hit, cap)."""
         from .healpix import pix2vec_ring
-        pos = np.asarray(odev.pos[iobs], np.float64)
+        pos = to_host(odev.pos[iobs], np.float64)
         vx, vy, vz = pix2vec_ring(obs.nside, np.arange(obs.npix))
-        kout = np.stack([np.asarray(vx, np.float64),
-                         np.asarray(vy, np.float64),
-                         np.asarray(vz, np.float64)])
+        kout = np.stack([to_host(vx, np.float64),
+                         to_host(vy, np.float64),
+                         to_host(vz, np.float64)])
         with np.errstate(divide='ignore', invalid='ignore'):
             t_lo = (np.array([xmn, ymn, zmn])[:, None] - pos[:, None]) / kout
             t_hi = (np.array([xmx, ymx, zmx])[:, None] - pos[:, None]) / kout
@@ -233,15 +235,15 @@ def make_sightline(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
                 D1 = _cD(grid, meta, ic, jc, kc)
                 u1 = _cv(grid, meta, ic, jc, kc, kx, ky, kz)
                 xf0 = xf0 * (meta.Dfreq_ref / D1) - u1
-            taus.append(np.asarray(f(xf0)))
+            taus.append(to_host(f(xf0)))
         tau_gas = np.stack(taus).reshape(meta.nxfreq, obs.nxim, obs.nyim)
 
-        hitm = np.asarray(hitj).reshape(obs.nxim, obs.nyim)
+        hitm = to_host(hitj).reshape(obs.nxim, obs.nyim)
         return {
             'tau_gas': np.where(hitm[None], tau_gas, 0.0),
-            'N_gas': np.where(hitm, np.asarray(N_gas).reshape(
+            'N_gas': np.where(hitm, to_host(N_gas).reshape(
                 obs.nxim, obs.nyim), 0.0),
-            'tau_dust': np.where(hitm, np.asarray(tau_dust).reshape(
+            'tau_dust': np.where(hitm, to_host(tau_dust).reshape(
                 obs.nxim, obs.nyim), 0.0),
         }
 
@@ -352,8 +354,8 @@ def _make_sightline_clump(cfg, meta, obs, cmeta):
         return out[3]
 
     def ray_origins(odev, iobs):
-        R_ = np.asarray(odev.rmat[iobs])
-        pos = np.asarray(odev.pos[iobs])
+        R_ = to_host(odev.rmat[iobs])
+        pos = to_host(odev.pos[iobs])
         ii, jj = np.meshgrid(np.arange(obs.nxim), np.arange(obs.nyim),
                              indexing='ij')
         ang_x = (ii + 0.5 - obs.nxim / 2.0) * obs.dxim / RAD2DEG_
@@ -400,9 +402,9 @@ def _make_sightline_clump(cfg, meta, obs, cmeta):
         tau_gas = np.stack(taus).reshape(meta.nxfreq, obs.nxim, obs.nyim)
         return {
             'tau_gas': np.where(hitm[None], tau_gas, 0.0),
-            'N_gas': np.where(hitm, np.asarray(N_gas).reshape(
+            'N_gas': np.where(hitm, to_host(N_gas).reshape(
                 obs.nxim, obs.nyim), 0.0),
-            'tau_dust': np.where(hitm, np.asarray(tau_dust).reshape(
+            'tau_dust': np.where(hitm, to_host(tau_dust).reshape(
                 obs.nxim, obs.nyim), 0.0),
         }
 
@@ -492,8 +494,8 @@ def _make_sightline_amr(cfg, meta, obs):
     xmx, ymx, zmx = meta.xmax, meta.ymax, meta.zmax
 
     def ray_origins(odev, iobs):
-        R_ = np.asarray(odev.rmat[iobs])
-        pos = np.asarray(odev.pos[iobs])
+        R_ = to_host(odev.rmat[iobs])
+        pos = to_host(odev.pos[iobs])
         ii, jj = np.meshgrid(np.arange(obs.nxim), np.arange(obs.nyim),
                              indexing='ij')
         ang_x = (ii + 0.5 - obs.nxim / 2.0) * obs.dxim / RAD2DEG_
@@ -544,14 +546,14 @@ def _make_sightline_amr(cfg, meta, obs):
                 D1 = _cD(grid, meta, ic0, 0, 0)
                 u1 = _cv(grid, meta, ic0, 0, 0, kx, ky, kz)
                 xf0 = xf0 * (meta.Dfreq_ref / D1) - u1
-            taus.append(np.asarray(f(xf0)))
+            taus.append(to_host(f(xf0)))
         hitm = np.asarray(hit).reshape(obs.nxim, obs.nyim)
         tau_gas = np.stack(taus).reshape(meta.nxfreq, obs.nxim, obs.nyim)
         return {
             'tau_gas': np.where(hitm[None], tau_gas, 0.0),
-            'N_gas': np.where(hitm, np.asarray(N_gas).reshape(
+            'N_gas': np.where(hitm, to_host(N_gas).reshape(
                 obs.nxim, obs.nyim), 0.0),
-            'tau_dust': np.where(hitm, np.asarray(tau_dust).reshape(
+            'tau_dust': np.where(hitm, to_host(tau_dust).reshape(
                 obs.nxim, obs.nyim), 0.0),
         }
 

@@ -69,6 +69,33 @@ def read_3d_any(path: str) -> np.ndarray:
         return np.ascontiguousarray(np.asarray(hd[0].data, np.float64).T)
 
 
+def read_velocity_any(path: str) -> np.ndarray:
+    """Read a 3-component velocity cube -> (nx, ny, nz, 3) [km/s]
+    (read_velocity, reference src/read_grid_data.f90:142-244; on-disk
+    layout is (nz, ny, nx, 3) for FITS written the reference way)."""
+    ext = path.rsplit('.', 1)[-1].lower()
+    if ext in ('h5', 'hdf5'):
+        with h5py.File(path, 'r') as f:
+            for k in f:
+                if isinstance(f[k], h5py.Dataset) and f[k].ndim == 4:
+                    arr = np.asarray(f[k], np.float64)
+                    break
+            else:
+                raise ValueError(f'no 4-D dataset in {path}')
+    else:
+        from astropy.io import fits
+        with fits.open(path) as hd:
+            arr = np.asarray(hd[0].data, np.float64)
+    if arr.ndim != 4:
+        raise ValueError(f'{path}: expected 4-D velocity, got {arr.shape}')
+    # (nz, ny, nx, 3) -> (nx, ny, nz, 3); component axis stays last
+    if arr.shape[-1] == 3:
+        return np.ascontiguousarray(np.transpose(arr, (2, 1, 0, 3)))
+    if arr.shape[0] == 3:          # (3, nz, ny, nx) alternative layout
+        return np.ascontiguousarray(np.transpose(arr, (3, 2, 1, 0)))
+    raise ValueError(f'{path}: no length-3 component axis in {arr.shape}')
+
+
 def read_lart(path: str) -> LartOutput:
     from .iofile import open_read
     with open_read(path) as f:

@@ -28,6 +28,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get('LART_ACCEPT_CPU'):
+    # physics evidence on the virtual CPU mesh (e.g. when the TPU tunnel
+    # is unavailable); the thresholds are platform-independent
+    from lart_tpu.utils.platform import force_cpu
+    force_cpu(8)
+
 from lart_tpu.config import Params
 from lart_tpu import driver
 
@@ -217,7 +223,10 @@ def main():
     for c in cases:
         summary.append({k: v for k, v in c.items()
                         if k not in ('x', 'J_model', 'J_analytic', 'J')})
-    payload = {'thresholds': {'chi2_dof_max': CHI2_DOF_MAX,
+    import jax
+    payload = {'platform': jax.devices()[0].platform,
+               'n_devices': len(jax.devices()),
+               'thresholds': {'chi2_dof_max': CHI2_DOF_MAX,
                               'xpeak_rtol': XPEAK_RTOL,
                               'escape_tol': ESCAPE_TOL,
                               'nscatt_rtol': NSCATT_RTOL},

@@ -21,6 +21,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from lart_tpu.utils.transfer import to_host_scalar
+
 REFERENCE_RANK_RATE = 1.84e5   # gas scatterings/s per MPI rank (BASELINE.md)
 
 
@@ -40,7 +42,7 @@ def bench_config(name, par, *, warm_chunks=3, timed_chunks=6, seed=12345):
     ns = 0.0
     for i in range(warm_chunks, warm_chunks + timed_chunks):
         tl, alive, launched = p.run_chunk(jax.random.fold_in(key0, i))
-        ns += float(tl.nscatt_gas)
+        ns += float(to_host_scalar(tl.nscatt_gas))
     jax.block_until_ready(tl)
     dt = time.time() - t0
 
