@@ -242,6 +242,16 @@ class Params:
     sampling_method: int = 1
     f_composite: float = 0.5
 
+    # --- mid-run checkpoint / resume (TPU extension of the reference's
+    # out_merge run-granularity resume, write_output_rect.f90:74-241) and
+    # observability hooks (SURVEY.md section 5 tracing/metrics)
+    checkpoint_file: str = ''       # HDF5 path; '' disables
+    checkpoint_every: int = 0       # chunks between checkpoints (0 = off)
+    resume_checkpoint: bool = False  # load checkpoint_file before running
+    metrics_file: str = ''          # JSONL per-chunk step metrics; '' off
+    profile_dir: str = ''           # jax.profiler trace dir; '' disables
+    profile_chunks: int = 3         # chunks to trace when profiling
+
     # --- observers (arrays handled in instruments/observer.py)
     nobs: int = 0
     alpha: Tuple[float, ...] = ()

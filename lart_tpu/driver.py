@@ -194,7 +194,26 @@ def run(par: Params, *, seed: Optional[int] = None,
     nphotons = int(np.sum(budgets))
     cur_B = B
     min_B = 4096
-    for ci in range(max_chunks):
+
+    # --- mid-run checkpoint resume: restore batch state + f64
+    # accumulators + chunk index; the fold_in(key0, ci) stream continues
+    # exactly where the checkpointed run stopped
+    ci0 = 0
+    if par.resume_checkpoint and par.checkpoint_file:
+        import os as _os
+        if _os.path.exists(par.checkpoint_file):
+            state, acc, ci0 = _load_checkpoint(
+                par.checkpoint_file, state, acc, m, n_dev)
+            cur_B = state.x.shape[0] // n_dev
+
+    metrics_fh = open(par.metrics_file, 'a') if par.metrics_file else None
+    prof_active = False
+    if par.profile_dir:
+        jax.profiler.start_trace(par.profile_dir)
+        prof_active = True
+
+    for ci in range(ci0, max_chunks):
+        t_chunk = time.time()
         key = jax.random.fold_in(key0, ci)
         state, tallies, alive, launched = chunk(state, grid, key, n_shard,
                                                 odev, src)
@@ -247,8 +266,27 @@ def run(par: Params, *, seed: Optional[int] = None,
                 acc['peel_direc0'] += tl.peel.direc0
         alive = int(to_host_scalar(alive))
         launched = int(to_host_scalar(launched))
+        if prof_active and ci - ci0 + 1 >= max(par.profile_chunks, 1):
+            jax.profiler.stop_trace()
+            prof_active = False
+        if metrics_fh is not None:
+            # per-phase step metrics (SURVEY.md section 5: the reference
+            # prints progress via time_stamp; here one JSONL row/chunk
+            # with the north-star rate)
+            import json as _json
+            dt_c = time.time() - t_chunk
+            metrics_fh.write(_json.dumps({
+                'chunk': ci, 'wall_s': dt_c,
+                'nscatt_gas': float(tl.nscatt_gas),
+                'scatt_per_s': float(tl.nscatt_gas) / max(dt_c, 1e-12),
+                'alive': alive, 'launched': launched,
+                'batch': cur_B * n_dev}) + '\n')
+            metrics_fh.flush()
         if progress is not None:
             progress(launched, nphotons, alive)
+        if par.checkpoint_file and par.checkpoint_every > 0 \
+                and (ci + 1) % par.checkpoint_every == 0:
+            _save_checkpoint(par.checkpoint_file, state, acc, ci + 1)
         if launched >= nphotons and alive == 0:
             break
         # --- tail-phase batch shrinking: once the photon budget is
@@ -264,6 +302,10 @@ def run(par: Params, *, seed: Optional[int] = None,
             if shrunk is not None:
                 state = shrunk
                 cur_B = min_B
+    if prof_active:
+        jax.profiler.stop_trace()
+    if metrics_fh is not None:
+        metrics_fh.close()
     exetime = time.time() - t0
 
     res = normalize(cfg, meta, acc, nphotons, exetime_s=exetime,
@@ -326,6 +368,59 @@ def _compact_shrink(state, n_dev, B_new, mesh):
     new_state = jax.tree_util.tree_map(pick, host)
     return pmesh.device_put_sharded_state(
         jax.tree_util.tree_map(jnp.asarray, new_state), mesh)
+
+
+def _save_checkpoint(path, state, acc, next_chunk):
+    """Mid-run device-state checkpoint (SURVEY.md section 5 'cheap win'):
+    the full SoA batch state + the host f64 accumulators + the chunk
+    index.  Resume continues the identical fold_in RNG stream, so
+    checkpoint+resume equals the uninterrupted run apart from the f32
+    accumulation grouping (bounded by tests/test_precision.py)."""
+    import h5py
+    host = tree_to_host(state)
+    tmp = path + '.tmp'
+    with h5py.File(tmp, 'w') as f:
+        f.attrs['next_chunk'] = next_chunk
+        gs = f.create_group('state')
+        for k in host._fields:
+            v = getattr(host, k)
+            if v is not None:
+                gs.create_dataset(k, data=np.asarray(v))
+        ga = f.create_group('acc')
+        for k, v in acc.items():
+            if k == 'allph':
+                gp = f.create_group('acc_allph')
+                for kk, vv in v.items():
+                    gp.create_dataset(kk, data=np.asarray(vv))
+            else:
+                ga.create_dataset(k, data=np.asarray(v))
+    import os
+    os.replace(tmp, path)
+
+
+def _load_checkpoint(path, state, acc, mesh, n_dev):
+    import h5py
+    with h5py.File(path, 'r') as f:
+        next_chunk = int(f.attrs['next_chunk'])
+        gs = f['state']
+        fields = {}
+        for k in state._fields:
+            cur = getattr(state, k)
+            if k in gs:
+                fields[k] = jnp.asarray(np.asarray(gs[k]))
+            else:
+                fields[k] = cur
+        new_state = type(state)(**fields)
+        for k in list(acc.keys()):
+            if k == 'allph':
+                if 'acc_allph' in f:
+                    acc['allph'] = {kk: np.asarray(vv, np.float64)
+                                    for kk, vv in f['acc_allph'].items()}
+            elif k in f['acc']:
+                v = np.asarray(f['acc'][k])
+                acc[k] = float(v) if v.ndim == 0 else v.astype(np.float64)
+    new_state = pmesh.device_put_sharded_state(new_state, mesh)
+    return new_state, acc, next_chunk
 
 
 def run_namelist(path: str, **kw) -> RunResult:
