@@ -208,6 +208,7 @@ class Params:
 
     # --- AMR grid
     use_amr_grid: bool = False
+    amr_morton_order: bool = True   # Z-order leaves for gather locality
     amr_type: str = 'generic'
     amr_file: str = ''
     ionization_model: str = 'cie_formula'

@@ -120,6 +120,34 @@ class AmrBuildResult:
     emissivity: Optional[np.ndarray] = None
 
 
+def _part1by2(v):
+    """Spread the low 21 bits of v so there are two zero bits between
+    each (int64 bit-interleave helper)."""
+    v = v.astype(np.int64) & 0x1FFFFF
+    v = (v | (v << 32)) & 0x1F00000000FFFF
+    v = (v | (v << 16)) & 0x1F0000FF0000FF
+    v = (v | (v << 8)) & 0x100F00F00F00F00F
+    v = (v | (v << 4)) & 0x10C30C30C30C30C3
+    v = (v | (v << 2)) & 0x1249249249249249
+    return v
+
+
+def morton_order(x, y, z, boxlen, origin, bits=20):
+    """Permutation sorting leaves along a Morton (Z-order) curve.
+
+    The transport kernel reads leaf physics with gathers
+    (engine.make_fly_amr); Z-ordering makes spatially adjacent leaves
+    index-adjacent so a ray's successive gathers hit nearby memory
+    (SURVEY.md hard-part 4: 'layout leaves for locality, Morton order')."""
+    ox, oy, oz = origin
+    n = 1 << bits
+    ix = np.clip(((x - ox) / boxlen * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(((y - oy) / boxlen * n).astype(np.int64), 0, n - 1)
+    iz = np.clip(((z - oz) / boxlen * n).astype(np.int64), 0, n - 1)
+    code = (_part1by2(ix) | (_part1by2(iy) << 1) | (_part1by2(iz) << 2))
+    return np.argsort(code, kind='stable')
+
+
 def build_amr(cfg: ResolvedConfig, data: Optional[dict] = None
               ) -> AmrBuildResult:
     """Build the AMR grid.  `data` overrides file reading (for tests)."""
@@ -138,6 +166,21 @@ def build_amr(cfg: ResolvedConfig, data: Optional[dict] = None
     vz = np.asarray(data.get('vz', np.zeros_like(nH)), np.float64)
     boxlen = float(data['boxlen'])
     ox, oy, oz = data.get('origin', (-boxlen / 2,) * 3)
+
+    # Morton-order the leaves (file order is arbitrary; Z-order gives the
+    # neighbor-gather walk spatial locality).  Every per-leaf array below
+    # is permuted consistently, so leaf ids are simply renamed.
+    if getattr(par, 'amr_morton_order', True):
+        perm = morton_order(xl, yl, zl, boxlen, (ox, oy, oz))
+        xl, yl, zl, lev = xl[perm], yl[perm], zl[perm], lev[perm]
+        nH, T = nH[perm], T[perm]
+        vx, vy, vz = vx[perm], vy[perm], vz[perm]
+        data = dict(data)
+        for k in ('xHI', 'n_ion', 'metallicity', 'ndust', 'emissivity',
+                  'sfr'):
+            if k in data and data[k] is not None \
+                    and np.ndim(data[k]) == 1 and len(data[k]) == len(perm):
+                data[k] = np.asarray(data[k])[perm]
     nleaf = len(xl)
 
     tree = build_octree(xl, yl, zl, lev,

@@ -73,12 +73,15 @@ def sharded_chunk(chunk_fn, mesh: Mesh):
 
 
 def device_put_sharded_state(state, mesh: Mesh):
-    """Place a host-constructed global state with batch axis sharded."""
+    """Place a host-constructed global state with batch axis sharded.
+
+    ONE pytree-batched device_put (not per-leaf): on the tunneled TPU
+    each transfer RPC carries multi-second latency, so per-leaf puts
+    turn setup into minutes."""
     sh = NamedSharding(mesh, P('data'))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
+    return jax.device_put(state, sh)
 
 
 def device_put_replicated(tree, mesh: Mesh):
     sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh) if x is not None else None, tree)
+    return jax.device_put(tree, sh)

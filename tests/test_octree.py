@@ -1,6 +1,7 @@
 """Octree build + neighbor-table checks (native C++ with NumPy fallback)."""
 
 import numpy as np
+import pytest
 
 from lart_tpu.grid.octree import build_octree
 
@@ -60,3 +61,42 @@ def test_python_fallback_matches_native():
     assert t1.ncells == t2.ncells
     np.testing.assert_array_equal(
         np.sort(t1.icell_of_leaf), np.sort(t2.icell_of_leaf))
+
+
+def test_morton_order_locality_and_invariance(tmp_path):
+    """Z-ordering renames leaf ids only: transport results are unchanged,
+    and successive ids are spatially closer than in shuffled order."""
+    import jax
+    import numpy as np
+    from lart_tpu.config import Params
+    from lart_tpu.grid.amr import (make_amr_sphere, write_generic_amr,
+                                   morton_order)
+    from lart_tpu import driver
+
+    data = make_amr_sphere(n_base=16, levels_extra=1, rmax=1.0, T=1e4)
+    # shuffle to a worst-case input order
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(len(data['x']))
+    for k in ('x', 'y', 'z', 'level', 'nH', 'T', 'vx', 'vy', 'vz'):
+        data[k] = np.asarray(data[k])[perm]
+    path = str(tmp_path / 'mo.h5')
+    write_generic_amr(path, data)
+
+    common = dict(nphotons=300, use_amr_grid=True, amr_file=path,
+                  geometry='sphere', rmax=1.0, taumax=3.0,
+                  temperature=1e4, xfreq_min=-30.0, xfreq_max=30.0,
+                  n_devices=1, batch_size=256, chunk_cycles=8)
+    r_on = driver.run(Params(amr_morton_order=True, **common), seed=5)
+    r_off = driver.run(Params(amr_morton_order=False, **common), seed=5)
+    np.testing.assert_allclose(r_on.Jout, r_off.Jout, rtol=1e-5, atol=1e-7)
+    assert r_on.nscatt_tot == pytest.approx(r_off.nscatt_tot, rel=1e-5)
+
+    # locality: mean index-neighbor distance under Z-order is well below
+    # the shuffled order's
+    x, y, z = (np.asarray(data[k], np.float64) for k in 'xyz')
+    mo = morton_order(x, y, z, data['boxlen'], data['origin'])
+    def mean_step(ordv):
+        xo, yo, zo = x[ordv], y[ordv], z[ordv]
+        return np.mean(np.sqrt(np.diff(xo) ** 2 + np.diff(yo) ** 2
+                               + np.diff(zo) ** 2))
+    assert mean_step(mo) < 0.5 * mean_step(np.arange(len(x)))
