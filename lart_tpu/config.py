@@ -209,7 +209,8 @@ class Params:
     # --- AMR grid
     use_amr_grid: bool = False
     amr_morton_order: bool = True   # Z-order leaves for gather locality
-    amr_type: str = 'generic'
+    amr_type: str = 'generic'       # 'generic' file or 'ramses' snapshot
+    amr_snapnum: int = -999         # RAMSES output number (amr_type='ramses')
     amr_file: str = ''
     ionization_model: str = 'cie_formula'
     dust_model: str = 'global_dgr'
@@ -238,6 +239,10 @@ class Params:
     save_peeloff: bool = False
     save_peeloff_2D: bool = False
     save_peeloff_3D: bool = True
+    save_radial_profile: bool = False   # radial I(+Stokes) profiles from
+                                        # peel maps (always written when
+                                        # peel is on; flag kept for
+                                        # namelist parity, define.f90:524)
     save_sightline_tau: bool = False
     save_dust_scattered: bool = False
     sampling_method: int = 1

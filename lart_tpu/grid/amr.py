@@ -153,7 +153,14 @@ def build_amr(cfg: ResolvedConfig, data: Optional[dict] = None
     """Build the AMR grid.  `data` overrides file reading (for tests)."""
     par, line = cfg.par, cfg.line
     if data is None:
-        data = read_generic_amr(par.amr_file)
+        if par.amr_type.strip().lower() == 'ramses':
+            # direct RAMSES snapshot read (read_ramses_amr.f90:63; the
+            # converter's reader doubles as the in-process loader)
+            from ..tools.convert_ramses_to_generic import convert
+            data = convert(par.amr_file, int(par.amr_snapnum),
+                           unit=par.distance_unit.strip() or 'kpc')
+        else:
+            data = read_generic_amr(par.amr_file)
 
     xl = np.asarray(data['x'], np.float64)
     yl = np.asarray(data['y'], np.float64)

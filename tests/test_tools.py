@@ -142,6 +142,17 @@ def test_convert_ramses_roundtrip(tmp_path):
     assert np.allclose(np.abs(data['x'][l1]), L / 4, rtol=1e-6)
     assert np.all(data['x'][~l1] < 0)
     assert data['x'].min() >= -L / 2 and data['x'].max() <= L / 2
+
+    # direct in-process load: amr_type='ramses' builds the grid without a
+    # conversion step (read_ramses_amr.f90:63 parity)
+    from lart_tpu.config import Params
+    from lart_tpu.grid.amr import build_amr
+    par = Params(use_amr_grid=True, amr_type='ramses', amr_file=repo,
+                 amr_snapnum=1, nphotons=10, temperature=1e4,
+                 taumax=5.0, xfreq_min=-10.0, xfreq_max=10.0,
+                 distance_unit='kpc')
+    r = build_amr(par.resolve())
+    assert r.meta.grid_type == 'amr'
     # density: rho_code * unit_d * XH / mp
     nH1 = 2.0 * 1.66e-24 * 0.76 / 1.6726219e-24
     assert np.allclose(np.unique(np.round(data['nH'], 6)),
