@@ -57,6 +57,19 @@ class PeelObservation:
     def npix(self) -> int:
         return int(np.prod(self.scatt.shape[1:]))
 
+    @property
+    def mu(self) -> Optional[float]:
+        """Viewing-direction cosine of this observer (PeelObservation.mu,
+        reference read_lart.py:103-111): z-component of the unit vector
+        toward the observer, from the OBSX/Y/Z header keywords."""
+        h = self.header or {}
+        if 'OBSZ' not in h:
+            return None
+        v = np.array([h.get('OBSX', 0.0), h.get('OBSY', 0.0), h['OBSZ']],
+                     np.float64)
+        n = np.linalg.norm(v)
+        return float(v[2] / n) if n > 0 else None
+
     def average_spectrum(self, component: str = 'total') -> np.ndarray:
         """Spatially integrated spectrum of a component
         ('total'|'scatt'|'direc')."""
@@ -322,6 +335,63 @@ class LaRTOutput:
             plt.show()
         return ax
 
+    def plot_velocity_moment_map(self, iobs: int = 0, order: int = 1,
+                                 component: str = 'total', ax=None,
+                                 show: bool = False):
+        """Flux-weighted velocity-moment map of a peel cube
+        (plot_velocity_moment_map, read_lart.py:1453-1698): order 1 =
+        mean velocity (kinematics), order 2 = dispersion."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        p = self.peel[iobs]
+        m = p.velocity_moment_map(self.velocity, order=order,
+                                  component=component)
+        im = ax.imshow(m.T, origin='lower',
+                       cmap='RdBu_r' if order == 1 else 'viridis')
+        plt.colorbar(im, ax=ax,
+                     label=('<v> [km/s]' if order == 1
+                            else 'sigma_v [km/s]'))
+        ax.set_title(f'obs {iobs} moment-{order} ({component})')
+        if show:
+            plt.show()
+        return ax
+
+    def plot_peel_jmu_compare(self, iobs: int = 0, ax=None, log: bool = False,
+                              show: bool = False):
+        """Consistency check: the peel spectrum toward observer iobs vs
+        the Jmu slice at the observer's mu (plot_peel_jmu_compare,
+        read_lart.py:1294-1452) -- the two estimators of the same
+        emergent intensity must agree to MC noise."""
+        plt = _plt()
+        if ax is None:
+            _, ax = plt.subplots()
+        p = self.peel[iobs]
+        spec = p.average_spectrum()
+        n1 = np.trapezoid(spec, self.xfreq)
+        ax.plot(self.xfreq, spec / max(n1, 1e-300), label='peel')
+        if self.Jmu is not None:
+            jmu = self.Jmu if self.Jmu.ndim == 2 else \
+                self.Jmu.reshape(len(self.xfreq), -1)
+            nmu = jmu.shape[1]
+            hdr = self.Jmu_header or {}
+            mu_min = float(hdr.get('mu_min', -1.0))
+            dmu = (1.0 - mu_min) / nmu
+            mu_obs = float(np.clip(p.mu if hasattr(p, 'mu') and p.mu
+                                   is not None else 1.0, mu_min, 1.0 - 1e-9))
+            imu = int((mu_obs - mu_min) / dmu)
+            sl = jmu[:, imu]
+            n2 = np.trapezoid(sl, self.xfreq)
+            ax.plot(self.xfreq, sl / max(n2, 1e-300), ':',
+                    label=f'Jmu (mu bin {imu})')
+        if log:
+            ax.set_yscale('log')
+        ax.set_xlabel('x')
+        ax.legend()
+        if show:
+            plt.show()
+        return ax
+
 
 # ---------------------------------------------------------------------------
 
@@ -524,9 +594,36 @@ def _load_peel(path: str) -> PeelObservation:
                            stokes=stokes, radial=radial, healpix=healpix)
 
 
+def parse_input_file(infile: str) -> dict:
+    """Parse a `&parameters` namelist into a plain dict of python values
+    (parse_input_file, reference python/read_lart.py:2724-2742)."""
+    import dataclasses
+    from .config import Params
+    p = Params.from_namelist(infile)
+    return dataclasses.asdict(p)
+
+
+def output_path_for(infile: str) -> str:
+    """Output file named by an input namelist (fits_path_for, reference
+    python/read_lart.py:2765-2808): par%out_file resolved relative to the
+    input's directory, with the default '<input>.h5' fallback."""
+    from .config import Params
+    from .io.writer import output_filename
+    par = Params.from_namelist(infile)
+    out = output_filename(par)
+    if not os.path.isabs(out):
+        out = os.path.join(os.path.dirname(os.path.abspath(infile)), out)
+    return out
+
+
 def read_lart(path: str) -> LaRTOutput:
     """Load a run: the main output plus any per-observer _peel3D/_tau side
-    files sharing its basename (read_lart, reference python/read_lart.py)."""
+    files sharing its basename (read_lart, reference python/read_lart.py).
+
+    Like the reference, also accepts the input NAMELIST: read_lart('x.in')
+    resolves par%out_file and opens that."""
+    if path.endswith('.in'):
+        path = output_path_for(path)
     with open_read(path) as f:
         g = f['Spectrum']
         header = _attrs(g)

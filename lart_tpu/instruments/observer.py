@@ -38,6 +38,7 @@ class ObserverSetMeta:
     inside: bool = False
     nside: int = 0
     npix: int = 0
+    pos_host: object = None   # (nobs, 3) host copy of observer positions
 
 
 class ObserverDevice(NamedTuple):
@@ -78,7 +79,7 @@ def build_observers(cfg: ResolvedConfig
         meta = ObserverSetMeta(
             nobs=len(xs), nxim=npix, nyim=1, dxim=0.0, dyim=0.0,
             distance=0.0, steradian_pix=4.0 * math.pi / npix,
-            inside=True, nside=nside, npix=npix)
+            inside=True, nside=nside, npix=npix, pos_host=positions)
         dev = ObserverDevice(pos=jnp.asarray(positions, jnp.float32),
                              rmat=jnp.asarray(rmats, jnp.float32))
         return meta, dev
@@ -216,7 +217,8 @@ def build_observers(cfg: ResolvedConfig
     meta = ObserverSetMeta(
         nobs=len(positions), nxim=par.nxim, nyim=par.nyim,
         dxim=float(dxim), dyim=float(dyim), distance=float(distance),
-        steradian_pix=float(dxim * dyim * DEG2RAD ** 2))
+        steradian_pix=float(dxim * dyim * DEG2RAD ** 2),
+        pos_host=positions)
     dev = ObserverDevice(pos=jnp.asarray(positions, jnp.float32),
                          rmat=jnp.asarray(rmats, jnp.float32))
     return meta, dev

@@ -355,6 +355,11 @@ def write_output_peeling_3D(filename: str, res: RunResult, iobs: int) -> str:
         'I_unit': par.intensity_unit, 'Dfreq': meta.Dfreq_ref,
         'nphotons': nph,
     }
+    if getattr(obs, 'pos_host', None) is not None:
+        # observer position -> viewing mu (PeelObservation.mu, reference
+        # python/read_lart.py:103-111 reads these keywords)
+        px, py, pz = (float(v) for v in obs.pos_host[iobs])
+        wcs.update(OBSX=px, OBSY=py, OBSZ=pz)
     bp = np.float32 if par.out_bitpix == -32 else np.float64
 
     with open_write(filename, par.file_format) as f:

@@ -144,3 +144,43 @@ def test_fits_output_end_to_end(tmp_path):
     assert len(full.peel) == 1
     np.testing.assert_allclose(full.peel[0].scatt, res.peel['scatt'][0],
                                rtol=1e-6)
+
+
+def test_read_lart_from_input_and_peel_mu(tmp_path):
+    """The reference workflow read_lart('input.in') (fits_path_for,
+    read_lart.py:2765) + the peel observer mu from OBSX/Y/Z keywords."""
+    import os
+    from lart_tpu import driver
+    from lart_tpu.io.writer import write_output
+    from lart_tpu import analysis
+
+    inp = tmp_path / 'run.in'
+    inp.write_text(
+        "&parameters\n"
+        " par%nphotons = 400\n"
+        " par%geometry = 'sphere'\n par%rmax = 1.0\n"
+        " par%nx = 17\n par%ny = 17\n par%nz = 17\n"
+        " par%taumax = 1.0\n par%temperature = 1e4\n"
+        " par%batch_size = 512\n par%chunk_cycles = 8\n"
+        " par%n_devices = 1\n"
+        " par%save_peeloff = .true.\n"
+        " par%nxim = 9\n par%nyim = 9\n par%distance = 100.0\n"
+        " par%nobs = 1\n par%alpha(1) = 0.0\n par%beta(1)  = 60.0\n"
+        f" par%out_file = '{tmp_path}/run_out.h5'\n"
+        "/\n")
+    par = Params.from_namelist(str(inp))
+    res = driver.run(par, seed=2)
+    write_output(par.out_file, res)
+
+    out = analysis.read_lart(str(inp))           # input-namelist entry
+    assert out.nphotons == 400
+    assert len(out.peel) == 1
+    # beta=60 deg observer: mu = cos(60) = 0.5
+    assert abs(out.peel[0].mu - 0.5) < 1e-6
+
+    d = analysis.parse_input_file(str(inp))
+    assert d['nphotons'] == 400 and d['beta'] == (60.0,)
+
+    # moment map + jmu-compare plot methods run headless
+    ax = out.plot_velocity_moment_map(0)
+    assert ax is not None
