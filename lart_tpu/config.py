@@ -206,6 +206,11 @@ class Params:
     clump_profile_file: str = ''
     clump_input_file: str = ''
 
+    # --- grid-backend selector alias: some reference inputs spell the
+    # medium as par%grid_type ('cartesian'|'amr'|'clump') instead of the
+    # use_amr_grid/use_clump_medium booleans (examples/jellyfish_rmhd)
+    grid_type: str = ''
+
     # --- AMR grid
     use_amr_grid: bool = False
     amr_morton_order: bool = True   # Z-order leaves for gather locality
@@ -444,6 +449,24 @@ def resolve(par: Params) -> ResolvedConfig:
     """
     line = lines_mod.get_line(par.line_id, par.fine_structure,
                               par.include_deuterium)
+
+    # distance_unit -> distance2cm (setup.f90:469-485): only when the
+    # user did not set distance2cm explicitly; unknown units mean kpc
+    if par.distance2cm < 0.0:
+        from .constants import AU2CM, KPC2CM, PC2CM
+        unit = par.distance_unit.strip().lower()
+        d2cm = {'kpc': KPC2CM, 'pc': PC2CM, 'au': AU2CM,
+                '': 1.0}.get(unit, KPC2CM)
+        par = dataclasses.replace(par, distance2cm=d2cm)
+
+    # grid_type alias -> backend booleans
+    gt = par.grid_type.strip().lower()
+    if gt in ('amr', 'octree'):
+        par = dataclasses.replace(par, use_amr_grid=True)
+    elif gt in ('clump', 'clumpy'):
+        par = dataclasses.replace(par, use_clump_medium=True)
+    elif gt not in ('', 'cartesian', 'car', 'uniform'):
+        raise ValueError(f'unknown grid_type: {par.grid_type!r}')
 
     # output backend must be a known one (the reference errors on unknown
     # par%file_format rather than silently substituting, iofile_mod.f90:81)

@@ -52,7 +52,8 @@ def prepare(par: Params, *, seed: Optional[int] = None) -> Prepared:
     arrays on the mesh, and jit the sharded transport chunk."""
     enable_compilation_cache()
     cfg = par.resolve()
-    cmeta = None
+    par = cfg.par     # resolve() normalizes aliases (grid_type,
+    cmeta = None      # distance_unit -> distance2cm, ...)
     if par.use_clump_medium:
         from .grid.clump import build_clumps
         meta, cmeta, grid = build_clumps(cfg, seed=(seed or par.iseed) + 77)
@@ -140,6 +141,7 @@ def run(par: Params, *, seed: Optional[int] = None,
     """
     p = prepare(par, seed=seed)
     cfg, meta, cmeta = p.cfg, p.meta, p.cmeta
+    par = cfg.par     # normalized aliases (grid_type, distance_unit)
     grid, obs_meta, odev, src = p.grid, p.obs_meta, p.odev, p.src
     m, n_dev, budgets = p.mesh, p.n_dev, p.budgets
     state, n_shard, chunk = p.state, p.n_shard, p.chunk

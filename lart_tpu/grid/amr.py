@@ -203,6 +203,9 @@ def build_amr(cfg: ResolvedConfig, data: Optional[dict] = None
     # --- neutral fraction (grid_mod_amr.f90:226-252)
     if 'xHI' in data:
         xHI = np.asarray(data['xHI'], np.float64)
+    elif par.ionization_model == 'from_file':
+        raise ValueError("ionization_model='from_file' requires an xHI "
+                         "column in the AMR file")
     elif par.ionization_model == 'cie_table':
         xHI = cie_neutral_fraction_table(T)
     elif par.ionization_model == 'full_neutral':
@@ -243,6 +246,9 @@ def build_amr(cfg: ResolvedConfig, data: Optional[dict] = None
     emissivity = None
     if 'emissivity' in data:
         emissivity = np.asarray(data['emissivity'], np.float64)
+    elif par.emissivity_model == 'from_file':
+        raise ValueError("emissivity_model='from_file' requires an "
+                         "emissivity column in the AMR file")
     elif par.emissivity_model == 'caseB':
         ne = np.asarray(data['n_e'], np.float64) if 'n_e' in data \
             else nH * (1.0 - xHI)

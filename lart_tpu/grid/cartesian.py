@@ -471,7 +471,8 @@ def build_cartesian(cfg: ResolvedConfig):
     if par.Omega != 0.0 and par.xy_periodic:
         KPC2CM = 3.0856775814913673e21
         om = par.Omega
-        if par.distance_unit.strip() != 'kpc' and par.distance2cm > 0:
+        if par.distance_unit.strip() not in ('', 'kpc') \
+                and par.distance2cm > 0:
             om = om * (par.distance2cm / KPC2CM)
         omega_shear = par.q * om * (2.0 * xmax) / cfg.vtherm
 
