@@ -80,7 +80,8 @@ def prepare(par: Params, *, seed: Optional[int] = None) -> Prepared:
         amr_res = build_amr(cfg)
         meta, grid = amr_res.meta, amr_res.dev
     else:
-        meta, grid = build_cartesian(cfg)
+        host_data = {}
+        meta, grid = build_cartesian(cfg, host_out=host_data)
     if par.save_input_grid and meta.grid_type == 'cartesian':
         _dump_input_grid(cfg, meta, grid)
 
@@ -89,10 +90,9 @@ def prepare(par: Params, *, seed: Optional[int] = None) -> Prepared:
 
     # table-driven sources (sersic/star_file/diffuse_emissivity/...)
     from .physics.sources import build_sources
-    host_data = {}
-    if not par.use_amr_grid and not par.use_clump_medium:
-        host_data['rhokap'] = to_host(grid.rhokap)
-    elif par.use_amr_grid and getattr(amr_res, 'emissivity', None) is not None:
+    if par.use_amr_grid or par.use_clump_medium:
+        host_data = {}
+    if par.use_amr_grid and getattr(amr_res, 'emissivity', None) is not None:
         host_data['emissivity'] = amr_res.emissivity
     src = build_sources(cfg, meta, host_data)
 
@@ -219,6 +219,8 @@ def run(par: Params, *, seed: Optional[int] = None,
         key = jax.random.fold_in(key0, ci)
         state, tallies, alive, launched = chunk(state, grid, key, n_shard,
                                                 odev, src)
+        # finish the chunk before ANY transfer: see utils/transfer.py
+        jax.block_until_ready(tallies)
         tl = tree_to_host(tallies)
         acc['Jin'] += tl.Jin
         acc['Jout'] += tl.Jout

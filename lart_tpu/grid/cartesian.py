@@ -119,8 +119,13 @@ def _cell_centers(n, amin, d):
     return amin + (np.arange(n) + 0.5) * d
 
 
-def build_cartesian(cfg: ResolvedConfig):
-    """Build (GridMeta, GridDevice).  Mirrors grid_create ordering."""
+def build_cartesian(cfg: ResolvedConfig, host_out: Optional[dict] = None):
+    """Build (GridMeta, GridDevice).  Mirrors grid_create ordering.
+
+    host_out, if given, receives host (numpy) copies of build products
+    ('rhokap') so callers never pull arrays back off the device -- the
+    tunneled single-chip TPU can wedge indefinitely on device-to-host
+    reads (see utils/transfer.py)."""
     par, line = cfg.par, cfg.line
     nx, ny, nz = par.nx, par.ny, par.nz
     dx, dy, dz = cfg.dx, cfg.dy, cfg.dz
@@ -511,6 +516,9 @@ def build_cartesian(cfg: ResolvedConfig):
         geometry_JPa=geometry_JPa, nbin_JPa=nbin_JPa,
         dr_JPa=float(dr_JPa), roff_JPa=float(roff_JPa),
         atmosphere=atm, omega_shear=float(omega_shear))
+
+    if host_out is not None:
+        host_out['rhokap'] = np.asarray(rhokap, np.float64)
 
     f32 = lambda x: jnp.asarray(x, jnp.float32) if x is not None else None
     dev = GridDevice(

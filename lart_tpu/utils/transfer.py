@@ -46,6 +46,15 @@ def to_host(x, dtype=None) -> np.ndarray:
     except Exception:
         platform = 'cpu'
     if platform not in ('cpu',):
+        # wait for the producing computation first: a transfer requested
+        # while the device is still executing can wedge the tunneled
+        # runtime (observed: tree_to_host immediately after an async
+        # chunk dispatch hangs; the same transfer after
+        # block_until_ready succeeds)
+        try:
+            x.block_until_ready()
+        except Exception:
+            pass
         cpu = _cpu_device()
         if cpu is not None:
             x = jax.device_put(x, cpu)
