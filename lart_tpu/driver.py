@@ -219,9 +219,10 @@ def run(par: Params, *, seed: Optional[int] = None,
         key = jax.random.fold_in(key0, ci)
         state, tallies, alive, launched = chunk(state, grid, key, n_shard,
                                                 odev, src)
-        # finish the chunk before ANY transfer: see utils/transfer.py
+        # finish the chunk before ANY transfer: see utils/transfer.py;
+        # one batched transfer for tallies + loop-control scalars
         jax.block_until_ready(tallies)
-        tl = tree_to_host(tallies)
+        tl, alive, launched = tree_to_host((tallies, alive, launched))
         acc['Jin'] += tl.Jin
         acc['Jout'] += tl.Jout
         acc['Jabs'] += tl.Jabs
@@ -268,8 +269,8 @@ def run(par: Params, *, seed: Optional[int] = None,
                 acc['peel_Ha'] += tl.peel.Ha
             if 'peel_direc0' in acc:
                 acc['peel_direc0'] += tl.peel.direc0
-        alive = int(to_host_scalar(alive))
-        launched = int(to_host_scalar(launched))
+        alive = int(np.asarray(alive).reshape(()))
+        launched = int(np.asarray(launched).reshape(()))
         if prof_active and ci - ci0 + 1 >= max(par.profile_chunks, 1):
             jax.profiler.stop_trace()
             prof_active = False

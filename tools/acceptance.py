@@ -74,10 +74,13 @@ def shape_chi2(x, J_model, J_analytic, n_eff):
 
 def run_analytic_case(name, analytic, tau0, T, nphotons, *, geometry,
                       core_skip=False, n_cells=201, seed=5):
+    # chunk_cycles=64: through the tunneled TPU runtime every chunk costs
+    # a fixed sync/transfer latency (~0.4 s) on top of ~0.1 s of compute,
+    # so long chunks amortize it (4x wall-time win measured)
     kw = dict(nphotons=nphotons, temperature=T, taumax=tau0,
               spectral_type='voigt', source_geometry='point',
               core_skip=core_skip, batch_size=1 << 16, fly_substeps=8,
-              scatter_rounds=4, chunk_cycles=16, refill_every=4)
+              scatter_rounds=4, chunk_cycles=64, refill_every=4)
     if geometry == 'slab':
         kw.update(xy_periodic=True, nx=1, ny=1, nz=n_cells)
     else:
@@ -85,7 +88,14 @@ def run_analytic_case(name, analytic, tau0, T, nphotons, *, geometry,
                   nx=n_cells, ny=n_cells, nz=n_cells)
     par = Params(**kw)
     t0 = time.time()
-    res = driver.run(par, seed=seed)
+    last = [0.0]
+
+    def progress(launched, ntot, alive):
+        if time.time() - last[0] > 30.0:
+            print(f"  [{name}] {time.time()-t0:.0f}s launched={launched} "
+                  f"alive={alive}", flush=True)
+            last[0] = time.time()
+    res = driver.run(par, seed=seed, progress=progress)
     wall = time.time() - t0
 
     a = res.cfg.voigt_a_ref
