@@ -106,6 +106,11 @@ class GridMeta:
     # clump_mod.f90:130-168); 0 -> clumps share the reference temperature
     Dfreq_cl: float = 0.0
     voigt_a_cl: float = 0.0
+    # gas opacity when it is one constant over the whole grid (uniform
+    # static slab/sphere); -1 when spatially varying.  Lets the transport
+    # collapse the per-cell DDA into a single algebraic flight
+    # (engine.make_fly_uniform_slab)
+    rho_uniform: float = -1.0
 
     @property
     def xrange(self): return self.xmax - self.xmin
@@ -505,6 +510,9 @@ def build_cartesian(cfg: ResolvedConfig, host_out: Optional[dict] = None):
         Dfreq_ref=Dfreq_ref, voigt_a_ref=cfg.voigt_a_ref,
         uniform_temperature=uniform_T, static_medium=static_medium,
         has_dust=rhokapD is not None,
+        rho_uniform=(float(rhokap.flat[0])
+                     if rhokap.size > 0 and rhokap.flat[0] > 0.0
+                     and np.all(rhokap == rhokap.flat[0]) else -1.0),
         nxfreq=nxfreq, xfreq_min=float(xfreq_min), xfreq_max=float(xfreq_max),
         dxfreq=float(dxfreq), dwave=float(dwave),
         xcrit=float(xcrit), xcrit2=float(xcrit * xcrit),

@@ -120,13 +120,20 @@ def vz_envelope(xin: jnp.ndarray, a: jnp.ndarray) -> VzEnvelope:
 
 def vz_round(key, env: VzEnvelope, accepted: jnp.ndarray, vz: jnp.ndarray,
              active: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One masked rejection round for all lanes.
+    """One masked rejection round for all lanes (jax.random stream)."""
+    xi = _u01(key, (4,) + env.x0.shape)
+    return vz_round_xi(xi, env, accepted, vz, active)
 
+
+def vz_round_xi(xi, env: VzEnvelope, accepted: jnp.ndarray, vz: jnp.ndarray,
+                active: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One masked rejection round for all lanes, RNG injected as xi.
+
+    xi has shape (4,) + lanes; the split lets the identical math run under
+    jax.random (engine) and the in-kernel TPU PRNG (pallas fast path).
     accepted/vz are carried state; `active` masks lanes that need a sample.
     Returns (accepted, vz) updated where a new acceptance occurred.
     """
-    shape = env.x0.shape
-    xi = _u01(key, (4,) + shape)
     need = jnp.logical_and(active, ~accepted)
 
     # --- core path: Lorentzian proposal, accept exp(-u^2)

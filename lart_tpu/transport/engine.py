@@ -534,11 +534,177 @@ def line_profile(cfg: ResolvedConfig, xfreq, a_cell, Dfreq_cell):
 # Fly: batched Amanatides-Woo DDA with per-axis boundary ops
 # ---------------------------------------------------------------------------
 
+def uniform_slab_fastpath(cfg: ResolvedConfig, meta: GridMeta) -> bool:
+    """True when the medium is one constant-opacity static slab, so a
+    flight needs no cell walk at all: the distance to the tau target and
+    to the z boundary are both closed-form.  This is the flagship
+    Neufeld-slab family (examples/slab, BASELINE.json north star)."""
+    par = cfg.par
+    return (meta.grid_type == 'cartesian'
+            and meta.static_medium and meta.uniform_temperature
+            and meta.rho_uniform > 0.0
+            and meta.nx == 1 and meta.ny == 1
+            and meta.bc_x == 'periodic' and meta.bc_y == 'periodic'
+            and meta.bc_z == 'escape'
+            and not meta.has_dust and not meta.atmosphere
+            and meta.omega_shear == 0.0
+            and cfg.line.line_type != 8
+            and h2_setup(cfg) is None
+            and not (par.calcJ or par.calcPnew)
+            and not par.save_all_photons)
+
+
+def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
+    """Analytic-flight specialization of the Cartesian fly for a uniform
+    static slab (uniform_slab_fastpath): opacity per length is
+    rho_uniform * H(x, a) everywhere and the comoving frequency never
+    changes along a flight, so one iteration resolves a whole flight --
+    either the tau target is reached at distance
+    (tau_target - tau_run) / rho (scatter) or the photon exits through a
+    z face (escape).  Tally semantics (Jout/Jmu records, forced first
+    scattering restart, run_simulation_mod.f90:85-100) are identical to
+    the generic DDA path, which remains the reference implementation for
+    every non-uniform medium."""
+    par = cfg.par
+    zmn, zmx = meta.zmin, meta.zmin + meta.nz * meta.dz
+    a_ref = jnp.float32(meta.voigt_a_ref)
+    rho0 = jnp.float32(meta.rho_uniform)
+    save_Jmu = par.save_Jmu
+    mu_min = 0.0 if par.xyz_symmetry else -1.0
+    dmu = (1.0 - mu_min) / par.nmu
+
+    def mu_bin(kz):
+        mu = jnp.abs(kz) if par.xyz_symmetry else kz
+        return jnp.clip(jnp.floor((mu - mu_min) / dmu).astype(jnp.int32),
+                        0, par.nmu - 1)
+
+    def fly(state: BatchState, grid: GridDevice, tallies: Tallies,
+            max_steps: int):
+
+        def cond(carry):
+            s, rec, n = carry
+            flying = jnp.logical_or(s.phase == FLYING, s.phase == FFS)
+            # every flight completes in one iteration; FFS restarts need a
+            # second, so the loop drains in ~2 iterations regardless of
+            # max_steps
+            return jnp.logical_and(n < max_steps + 2, jnp.any(flying))
+
+        def body(carry):
+            s, rec, n = carry
+            if save_Jmu:
+                (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
+                 esc_mu_r, ffs_mu_r) = rec
+            else:
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+            is_ffs = s.phase == FFS
+            moving = jnp.logical_or(s.phase == FLYING, is_ffs)
+
+            rho = rho0 * line_profile(cfg, s.xfreq, a_ref,
+                                      jnp.float32(meta.Dfreq_ref))
+
+            zsel = jnp.where(s.kz > 0.0, jnp.float32(zmx), jnp.float32(zmn))
+            d_exit = (zsel - s.z) / jnp.where(jnp.abs(s.kz) < 1e-12,
+                                              jnp.float32(1.0), s.kz)
+            d_exit = jnp.where(jnp.abs(s.kz) < 1e-12, BIG,
+                               jnp.maximum(d_exit, 0.0))
+
+            tgt = jnp.where(is_ffs, jnp.float32(FFS_TAU_CAP), s.tau_target)
+            dtau_exit = d_exit * rho
+            hit = s.tau_run + dtau_exit >= tgt
+            d_adv = jnp.where(hit, (tgt - s.tau_run)
+                              / jnp.maximum(rho, TINY), d_exit)
+            z_new = s.z + d_adv * s.kz
+            tau_n = jnp.where(hit, tgt, s.tau_run + dtau_exit)
+            escaped = jnp.logical_and(moving, ~hit)
+
+            # --- escape records (static uniform: lab frequency == comoving)
+            esc_fly = jnp.logical_and(escaped, s.phase == FLYING)
+            ffs_done = jnp.logical_and(moving, jnp.logical_or(
+                jnp.logical_and(escaped, is_ffs),
+                jnp.logical_and(hit, is_ffs)))
+            ix = jnp.floor((s.xfreq - meta.xfreq_min)
+                           / meta.dxfreq).astype(jnp.int32)
+            in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
+            rec_e = jnp.logical_and(esc_fly, in_rng)
+            esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
+                                 esc_ix_r)
+            esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
+            if save_Jmu:
+                esc_mu_r = jnp.where(rec_e, mu_bin(s.kz), esc_mu_r)
+
+            # --- forced-first-scattering completion: escaped fraction at
+            # the birth frequency, then restart from birth with wgt *=
+            # (1 - exp(-tau0)) and tau = -log(1 - xi*wgt1)
+            tau0 = tau_n
+            ixb = jnp.floor((s.bxfreq - meta.xfreq_min)
+                            / meta.dxfreq).astype(jnp.int32)
+            inb = jnp.logical_and(ixb >= 0, ixb < meta.nxfreq)
+            wgt_esc = s.wgt * jnp.exp(-tau0)
+            rec_f = jnp.logical_and(ffs_done, inb)
+            ffs_ix_r = jnp.where(rec_f, jnp.clip(ixb, 0, meta.nxfreq - 1),
+                                 ffs_ix_r)
+            ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
+            if save_Jmu:
+                ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+
+            wgt1 = 1.0 - jnp.exp(-tau0)
+            ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
+            phase_new = jnp.where(
+                esc_fly, DEAD,
+                jnp.where(ffs_vacuum, DEAD,
+                          jnp.where(ffs_done, FLYING,
+                                    jnp.where(jnp.logical_and(hit, ~is_ffs),
+                                              AT_SCATTER, s.phase))))
+
+            def rb(cur, birth):
+                return jnp.where(ffs_done, birth, cur)
+
+            s2 = s._replace(
+                phase=jnp.where(moving, phase_new, s.phase),
+                z=rb(jnp.where(moving, z_new, s.z), s.bz),
+                kx=rb(s.kx, s.bkx), ky=rb(s.ky, s.bky), kz=rb(s.kz, s.bkz),
+                xfreq=rb(s.xfreq, s.bxfreq),
+                wgt=jnp.where(ffs_done, s.wgt * wgt1, s.wgt),
+                tau_run=jnp.where(ffs_done, 0.0,
+                                  jnp.where(moving, tau_n, s.tau_run)),
+                tau_target=jnp.where(
+                    ffs_done,
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                               * wgt1),
+                    s.tau_target),
+            )
+            rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+            return s2, rec2, n + 1
+
+        B = state.x.shape[0]
+        rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+        if save_Jmu:
+            rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
+                           jnp.zeros((B,), jnp.int32))
+        state, rec, _ = jax.lax.while_loop(
+            cond, body, (state, rec0, jnp.int32(0)))
+        esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
+        tallies = tallies._replace(Jout=Jout)
+        if save_Jmu:
+            esc_mu, ffs_mu = rec[4], rec[5]
+            Jmu = tallies.Jmu.at[esc_ix * par.nmu + esc_mu].add(esc_w) \
+                .at[ffs_ix * par.nmu + ffs_mu].add(ffs_w)
+            tallies = tallies._replace(Jmu=Jmu)
+        return state, tallies
+
+    return fly
+
+
 def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
     if meta.grid_type == 'amr':
         return make_fly_amr(cfg, meta)
     if meta.grid_type == 'clump':
         return make_fly_clump(cfg, meta, cmeta)
+    if uniform_slab_fastpath(cfg, meta):
+        return make_fly_uniform_slab(cfg, meta)
     par = cfg.par
     nx, ny, nz = meta.nx, meta.ny, meta.nz
     dx, dy, dz = meta.dx, meta.dy, meta.dz

@@ -1,0 +1,82 @@
+"""Uniform-static-slab analytic-flight fast path vs the generic DDA.
+
+The fast path (engine.make_fly_uniform_slab) must be a pure
+re-implementation of the same transport: same forced-first-scattering
+semantics, same Jout/Jmu records, same <N_scatt> -- to MC noise (the two
+paths consume the per-cycle RNG draws at different cycle offsets, so
+agreement is statistical, not bitwise)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from lart_tpu.config import Params
+
+
+def _run_slab(force_generic, nphotons=20_000, tau0=100.0, seed=9):
+    import jax
+    from lart_tpu.grid.cartesian import build_cartesian
+    from lart_tpu.transport import engine
+    from lart_tpu.utils.transfer import to_host, to_host_scalar
+
+    par = Params(nphotons=nphotons, temperature=1e4, taumax=tau0,
+                 xy_periodic=True, nx=1, ny=1, nz=101,
+                 spectral_type='voigt', source_geometry='point',
+                 save_Jmu=True, nmu=8,
+                 batch_size=4096, fly_substeps=8, scatter_rounds=4,
+                 chunk_cycles=16, refill_every=4)
+    cfg = par.resolve()
+    meta, grid = build_cartesian(cfg)
+    assert meta.rho_uniform > 0.0, 'slab should be detected as uniform'
+    if force_generic:
+        meta = dataclasses.replace(meta, rho_uniform=-1.0)
+
+    chunk = jax.jit(engine.make_chunk(cfg, meta))
+    state = engine.init_state(par.batch_size)
+    state = state._replace(n_launched=np.zeros((1,), np.int32))
+    import jax.numpy as jnp
+    state = jax.tree.map(jnp.asarray, state)
+    n_shard = jnp.asarray([[nphotons, 0]], jnp.int32)
+
+    key0 = jax.random.PRNGKey(seed)
+    acc_J = np.zeros(meta.nxfreq)
+    acc_mu = np.zeros(meta.nxfreq * par.nmu)
+    ns = 0.0
+    for i in range(500):
+        state, tl, alive, launched = chunk(
+            state, grid, jax.random.fold_in(key0, i), n_shard, None, None)
+        acc_J += to_host(tl.Jout)
+        acc_mu += to_host(tl.Jmu)
+        ns += to_host_scalar(tl.nscatt_gas)
+        if to_host_scalar(alive) == 0 \
+                and to_host_scalar(launched) >= nphotons:
+            break
+    return acc_J, acc_mu, ns / nphotons
+
+
+@pytest.mark.slow
+def test_fastpath_matches_generic_dda():
+    J_f, Jmu_f, ns_f = _run_slab(force_generic=False)
+    J_g, Jmu_g, ns_g = _run_slab(force_generic=True)
+
+    # photon-weight conservation: every launched photon escapes
+    nph = 20_000
+    assert abs(J_f.sum() / nph - 1.0) < 1e-3
+    assert abs(J_g.sum() / nph - 1.0) < 1e-3
+
+    # <N_scatt> ~ 0.9 tau0 for a slab; paths agree to MC noise
+    assert ns_f == pytest.approx(ns_g, rel=0.05), (ns_f, ns_g)
+
+    # emergent spectra agree (chi2 over populated bins)
+    p1 = J_f / J_f.sum()
+    p2 = J_g / J_g.sum()
+    sel = (p1 + p2) > (p1 + p2).max() * 1e-3
+    var = (np.maximum(p1, 1e-12) + np.maximum(p2, 1e-12)) / nph
+    chi2_dof = float(np.sum((p1[sel] - p2[sel]) ** 2 / var[sel])
+                     / max(sel.sum(), 1))
+    assert chi2_dof < 3.0, chi2_dof
+
+    # angular distribution agrees too
+    m1 = Jmu_f.reshape(-1, 8).sum(axis=0)
+    m2 = Jmu_g.reshape(-1, 8).sum(axis=0)
+    np.testing.assert_allclose(m1 / m1.sum(), m2 / m2.sum(), atol=0.02)
