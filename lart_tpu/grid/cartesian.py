@@ -111,6 +111,13 @@ class GridMeta:
     # collapse the per-cell DDA into a single algebraic flight
     # (engine.make_fly_uniform_slab)
     rho_uniform: float = -1.0
+    # uniform-sphere medium: constant gas (and dust) opacity inside
+    # r < sphere_R, vacuum outside -- flights and peel sightlines are
+    # closed-form chords (engine.make_fly_uniform_sphere); sphere_R = -1
+    # when the medium is not of this form
+    sphere_R: float = -1.0
+    sphere_rho: float = -1.0
+    sphere_rhoD: float = 0.0
 
     @property
     def xrange(self): return self.xmax - self.xmin
@@ -332,6 +339,7 @@ def build_cartesian(cfg: ResolvedConfig, host_out: Optional[dict] = None):
     else:
         tauhomo_dust = taupole_dust = 0.0
 
+
     taumax_d = taumax_in if taumax_in > 0.0 else taupole
     tauhomo_d = par.tauhomo if par.tauhomo > 0.0 else tauhomo
 
@@ -418,6 +426,27 @@ def build_cartesian(cfg: ResolvedConfig, host_out: Optional[dict] = None):
                                     and np.all(vfz == 0.0))
     if static_medium:
         vfx = vfy = vfz = None
+
+    # --- uniform-sphere medium detection: constant opacity exactly on the
+    # r < rmax ball, vacuum outside -> flights and peel sightlines become
+    # closed-form chords (engine.make_fly_uniform_sphere).  Any density
+    # modifier (profiles, cones, files) breaks the constancy test.
+    sphere_R, sphere_rho, sphere_rhoD = -1.0, -1.0, 0.0
+    if (geom == 'sphere' and par.rmax > 0.0 and par.rmin <= 0.0
+            and static_medium and uniform_T and mask_arr is None
+            and not (par.xyz_symmetry or par.xy_symmetry)
+            and np.any(sel)):
+        v0 = rhokap[sel].flat[0]
+        ball = rr3 <= par.rmax
+        if (v0 > 0.0 and np.all(rhokap[sel] == v0)
+                and np.array_equal(sel, ball)
+                and (rhokapD is None
+                     or np.all(rhokapD[sel] == rhokapD[sel].flat[0]))
+                and (rhokapD is None or np.all(rhokapD[~sel] == 0.0))):
+            sphere_R = float(par.rmax)
+            sphere_rho = float(v0)
+            sphere_rhoD = float(rhokapD[sel].flat[0]) \
+                if rhokapD is not None else 0.0
 
     # --- (6) frequency grid (car_setup_freq_grid, grid_mod_car.f90:1442-1548)
     voigt_amean = (line.damping / FOURPI) / Dfreq_ref
@@ -513,6 +542,7 @@ def build_cartesian(cfg: ResolvedConfig, host_out: Optional[dict] = None):
         rho_uniform=(float(rhokap.flat[0])
                      if rhokap.size > 0 and rhokap.flat[0] > 0.0
                      and np.all(rhokap == rhokap.flat[0]) else -1.0),
+        sphere_R=sphere_R, sphere_rho=sphere_rho, sphere_rhoD=sphere_rhoD,
         nxfreq=nxfreq, xfreq_min=float(xfreq_min), xfreq_max=float(xfreq_max),
         dxfreq=float(dxfreq), dwave=float(dwave),
         xcrit=float(xcrit), xcrit2=float(xcrit * xcrit),

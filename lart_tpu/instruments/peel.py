@@ -362,7 +362,26 @@ def make_peel(cfg: ResolvedConfig, meta: GridMeta, obs: ObserverSetMeta,
                                      active, max_steps, cap=cap)
         max_steps = 3 * cmeta.cg_n + 8
     else:
-        tau_to_edge = tau_to_edge_cart
+        from ..transport.engine import (sphere_chord,
+                                        uniform_sphere_fastpath)
+        if uniform_sphere_fastpath(cfg, meta):
+            # uniform static sphere: the peel sightline tau is the chord
+            # through r < sphere_R times the constant opacity -- no march
+            # (the dominant peel cost when enabled, SURVEY.md section 3.2)
+            def tau_to_edge(grid, x, y, z, ic, jc, kc, kx, ky, kz, xfreq,
+                            active, max_steps, cap=None, iband=None):
+                rho = (meta.sphere_rho
+                       * line_profile(cfg, xfreq, meta.voigt_a_ref,
+                                      meta.Dfreq_ref)
+                       + meta.sphere_rhoD)
+                t_in, t_out = sphere_chord(meta, x, y, z, kx, ky, kz)
+                if cap is not None:
+                    t_out = jnp.minimum(t_out, jnp.maximum(cap, t_in))
+                    t_in = jnp.minimum(t_in, t_out)
+                tau = (t_out - t_in) * rho
+                return jnp.where(active, tau, 0.0)
+        else:
+            tau_to_edge = tau_to_edge_cart
         max_steps = 2 * (nx + ny + nz) + 8
 
     # ------------------------------------------------------------------

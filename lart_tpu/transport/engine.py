@@ -698,6 +698,187 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
     return fly
 
 
+def uniform_sphere_fastpath(cfg: ResolvedConfig, meta: GridMeta) -> bool:
+    """True when the medium is one constant-opacity static sphere in
+    vacuum (build_cartesian detection): a flight is a closed-form chord
+    (examples/sphere, sphere_peel, the Dijkstra+2006 family)."""
+    par = cfg.par
+    return (meta.grid_type == 'cartesian'
+            and meta.static_medium and meta.uniform_temperature
+            and meta.sphere_R > 0.0 and meta.sphere_rho > 0.0
+            and meta.bc_x == 'escape' and meta.bc_y == 'escape'
+            and meta.bc_z == 'escape'
+            and not meta.atmosphere and meta.omega_shear == 0.0
+            and cfg.line.line_type != 8
+            and h2_setup(cfg) is None
+            and not (par.calcJ or par.calcPnew)
+            and not par.save_all_photons)
+
+
+def sphere_chord(meta: GridMeta, x, y, z, kx, ky, kz):
+    """(t_in, t_out) ray-parameter interval inside the uniform sphere
+    (0 <= t_in <= t_out; t_in == t_out means no intersection ahead)."""
+    R2 = jnp.float32(meta.sphere_R * meta.sphere_R)
+    b = x * kx + y * ky + z * kz
+    r2 = x * x + y * y + z * z
+    det = b * b - (r2 - R2)
+    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    t_out = jnp.maximum(-b + sq, 0.0)
+    t_in = jnp.clip(-b - sq, 0.0, t_out)
+    hit = det > 0.0
+    t_in = jnp.where(hit, t_in, 0.0)
+    t_out = jnp.where(hit, t_out, 0.0)
+    return t_in, t_out
+
+
+def make_fly_uniform_sphere(cfg: ResolvedConfig, meta: GridMeta):
+    """Analytic-flight specialization for a uniform static sphere in
+    vacuum (uniform_sphere_fastpath): the opacity along any ray is
+    (sphere_rho * H(x, a) + sphere_rhoD) over the chord [t_in, t_out]
+    through r < sphere_R and zero outside, so one iteration resolves a
+    whole flight -- scatter at t_in + (tau_target - tau_run)/rho when the
+    chord supplies enough optical depth, escape otherwise (the vacuum
+    corners of the Cartesian box add nothing).  Record/tally and FFS
+    semantics match the generic DDA path (the reference implementation
+    for non-uniform media)."""
+    par = cfg.par
+    a_ref = jnp.float32(meta.voigt_a_ref)
+    rho0 = jnp.float32(meta.sphere_rho)
+    rhoD0 = jnp.float32(meta.sphere_rhoD)
+    save_Jmu = par.save_Jmu
+    mu_min = 0.0 if par.xyz_symmetry else -1.0
+    dmu = (1.0 - mu_min) / par.nmu
+
+    def mu_bin(kz):
+        mu = jnp.abs(kz) if par.xyz_symmetry else kz
+        return jnp.clip(jnp.floor((mu - mu_min) / dmu).astype(jnp.int32),
+                        0, par.nmu - 1)
+
+    def fly(state: BatchState, grid: GridDevice, tallies: Tallies,
+            max_steps: int):
+
+        def cond(carry):
+            s, rec, n = carry
+            flying = jnp.logical_or(s.phase == FLYING, s.phase == FFS)
+            return jnp.logical_and(n < max_steps + 2, jnp.any(flying))
+
+        def body(carry):
+            s, rec, n = carry
+            if save_Jmu:
+                (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
+                 esc_mu_r, ffs_mu_r) = rec
+            else:
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+            is_ffs = s.phase == FFS
+            moving = jnp.logical_or(s.phase == FLYING, is_ffs)
+
+            rho = rho0 * line_profile(cfg, s.xfreq, a_ref,
+                                      jnp.float32(meta.Dfreq_ref)) + rhoD0
+
+            t_in, t_out = sphere_chord(meta, s.x, s.y, s.z,
+                                       s.kx, s.ky, s.kz)
+            dtau_avail = (t_out - t_in) * rho
+            tgt = jnp.where(is_ffs, jnp.float32(FFS_TAU_CAP), s.tau_target)
+            hit = s.tau_run + dtau_avail >= tgt
+            d_adv = jnp.where(
+                hit, t_in + (tgt - s.tau_run) / jnp.maximum(rho, TINY),
+                t_out)
+            x_new = s.x + d_adv * s.kx
+            y_new = s.y + d_adv * s.ky
+            z_new = s.z + d_adv * s.kz
+            tau_n = jnp.where(hit, tgt, s.tau_run + dtau_avail)
+            escaped = jnp.logical_and(moving, ~hit)
+
+            esc_fly = jnp.logical_and(escaped, s.phase == FLYING)
+            ffs_done = jnp.logical_and(moving, is_ffs)
+            ix = jnp.floor((s.xfreq - meta.xfreq_min)
+                           / meta.dxfreq).astype(jnp.int32)
+            in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
+            rec_e = jnp.logical_and(esc_fly, in_rng)
+            esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
+                                 esc_ix_r)
+            esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
+            if save_Jmu:
+                esc_mu_r = jnp.where(rec_e, mu_bin(s.kz), esc_mu_r)
+
+            tau0 = tau_n
+            ixb = jnp.floor((s.bxfreq - meta.xfreq_min)
+                            / meta.dxfreq).astype(jnp.int32)
+            inb = jnp.logical_and(ixb >= 0, ixb < meta.nxfreq)
+            wgt_esc = s.wgt * jnp.exp(-tau0)
+            rec_f = jnp.logical_and(ffs_done, inb)
+            ffs_ix_r = jnp.where(rec_f, jnp.clip(ixb, 0, meta.nxfreq - 1),
+                                 ffs_ix_r)
+            ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
+            if save_Jmu:
+                ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+
+            wgt1 = 1.0 - jnp.exp(-tau0)
+            ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
+            phase_new = jnp.where(
+                esc_fly, DEAD,
+                jnp.where(ffs_vacuum, DEAD,
+                          jnp.where(ffs_done, FLYING,
+                                    jnp.where(jnp.logical_and(hit, ~is_ffs),
+                                              AT_SCATTER, s.phase))))
+
+            def rb(cur, birth):
+                return jnp.where(ffs_done, birth, cur)
+
+            # cell index of the scatter point for any cell-indexed consumer
+            # (uniform medium: the accessors short-circuit, but keep kc/ic
+            # valid for Pa binning)
+            icn = jnp.clip(jnp.floor((x_new - meta.xmin) / meta.dx
+                                     ).astype(jnp.int32), 0, meta.nx - 1)
+            jcn = jnp.clip(jnp.floor((y_new - meta.ymin) / meta.dy
+                                     ).astype(jnp.int32), 0, meta.ny - 1)
+            kcn = jnp.clip(jnp.floor((z_new - meta.zmin) / meta.dz
+                                     ).astype(jnp.int32), 0, meta.nz - 1)
+
+            s2 = s._replace(
+                phase=jnp.where(moving, phase_new, s.phase),
+                x=rb(jnp.where(moving, x_new, s.x), s.bx),
+                y=rb(jnp.where(moving, y_new, s.y), s.by),
+                z=rb(jnp.where(moving, z_new, s.z), s.bz),
+                ic=rb(jnp.where(moving, icn, s.ic), s.bic),
+                jc=rb(jnp.where(moving, jcn, s.jc), s.bjc),
+                kc=rb(jnp.where(moving, kcn, s.kc), s.bkc),
+                kx=rb(s.kx, s.bkx), ky=rb(s.ky, s.bky), kz=rb(s.kz, s.bkz),
+                xfreq=rb(s.xfreq, s.bxfreq),
+                wgt=jnp.where(ffs_done, s.wgt * wgt1, s.wgt),
+                tau_run=jnp.where(ffs_done, 0.0,
+                                  jnp.where(moving, tau_n, s.tau_run)),
+                tau_target=jnp.where(
+                    ffs_done,
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                               * wgt1),
+                    s.tau_target),
+            )
+            rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+            return s2, rec2, n + 1
+
+        B = state.x.shape[0]
+        rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+        if save_Jmu:
+            rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
+                           jnp.zeros((B,), jnp.int32))
+        state, rec, _ = jax.lax.while_loop(
+            cond, body, (state, rec0, jnp.int32(0)))
+        esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
+        tallies = tallies._replace(Jout=Jout)
+        if save_Jmu:
+            esc_mu, ffs_mu = rec[4], rec[5]
+            Jmu = tallies.Jmu.at[esc_ix * par.nmu + esc_mu].add(esc_w) \
+                .at[ffs_ix * par.nmu + ffs_mu].add(ffs_w)
+            tallies = tallies._replace(Jmu=Jmu)
+        return state, tallies
+
+    return fly
+
+
 def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
     if meta.grid_type == 'amr':
         return make_fly_amr(cfg, meta)
@@ -705,6 +886,8 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
         return make_fly_clump(cfg, meta, cmeta)
     if uniform_slab_fastpath(cfg, meta):
         return make_fly_uniform_slab(cfg, meta)
+    if uniform_sphere_fastpath(cfg, meta):
+        return make_fly_uniform_sphere(cfg, meta)
     par = cfg.par
     nx, ny, nz = meta.nx, meta.ny, meta.nz
     dx, dy, dz = meta.dx, meta.dy, meta.dz
@@ -1487,7 +1670,12 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
             dlz = jnp.minimum(s.z - fz, fz + meta.dz - s.z)
             dl = jnp.minimum(jnp.minimum(dlx, dly), dlz)
         a_cell = cell_voigt_a(grid, meta, s.ic, s.jc, s.kc)
-        rk = cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
+        # uniform-sphere fast path: the scatter point is inside the
+        # analytic sphere but its voxel may sit just outside the
+        # voxelized one -- use the constant, not the gather
+        rk = jnp.full_like(s.x, meta.sphere_rho) \
+            if uniform_sphere_fastpath(cfg, meta) \
+            else cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
         atau = a_cell * rk * jnp.maximum(dl, 0.0)
         xc = jnp.where(atau > 1.0, jnp.cbrt(atau) / 5.0, 0.0)
         return xc, xc * xc
@@ -1698,8 +1886,10 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
         keys = jax.random.split(key, 10)
         # --- event split: H2 / dust / resonance (scattering_car.f90:92-120)
         kap_HI = None
+        uni_sphere = uniform_sphere_fastpath(cfg, meta)
         if h2 is not None or meta.has_dust:
-            rk = cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
+            rk = jnp.full_like(s.x, meta.sphere_rho) if uni_sphere \
+                else cell_rhokap(grid, meta, s.ic, s.jc, s.kc)
             kap_HI = rk * line_profile(cfg, s.xfreq, a_cell, D_cell)
         if h2 is not None:
             from ..physics.h2 import h2_kappa
@@ -1707,7 +1897,8 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
         else:
             kap_H2 = 0.0
         if meta.has_dust:
-            kap_D = cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
+            kap_D = jnp.full_like(s.x, meta.sphere_rhoD) if uni_sphere \
+                else cell_rhokapD(grid, meta, s.ic, s.jc, s.kc)
         else:
             kap_D = 0.0
         if h2 is not None:

@@ -80,3 +80,72 @@ def test_fastpath_matches_generic_dda():
     m1 = Jmu_f.reshape(-1, 8).sum(axis=0)
     m2 = Jmu_g.reshape(-1, 8).sum(axis=0)
     np.testing.assert_allclose(m1 / m1.sum(), m2 / m2.sum(), atol=0.02)
+
+
+def _run_sphere(force_generic, nphotons=8000, tau0=50.0, seed=13):
+    import jax
+    import jax.numpy as jnp
+    from lart_tpu.grid.cartesian import build_cartesian
+    from lart_tpu.transport import engine
+    from lart_tpu.utils.transfer import to_host, to_host_scalar
+
+    par = Params(nphotons=nphotons, temperature=1e4, taumax=tau0,
+                 geometry='sphere', rmax=1.0, nx=65, ny=65, nz=65,
+                 spectral_type='voigt', source_geometry='point',
+                 save_peeloff=True, save_peeloff_3D=True,
+                 obsx=(0.0,), obsy=(0.0,), obsz=(1500.0,),
+                 nxim=15, nyim=15,
+                 batch_size=4096, fly_substeps=8, scatter_rounds=4,
+                 chunk_cycles=16, refill_every=4)
+    cfg = par.resolve()
+    meta, grid = build_cartesian(cfg)
+    assert meta.sphere_R > 0.0, 'sphere should be detected as uniform'
+    if force_generic:
+        meta = dataclasses.replace(meta, sphere_R=-1.0, sphere_rho=-1.0)
+
+    from lart_tpu.instruments.observer import build_observers
+    obs_meta, odev = build_observers(cfg)
+    chunk = jax.jit(engine.make_chunk(cfg, meta, obs_meta))
+    state = jax.tree.map(jnp.asarray, engine.init_state(par.batch_size))
+    state = state._replace(n_launched=jnp.zeros((1,), jnp.int32))
+    n_shard = jnp.asarray([[nphotons, 0]], jnp.int32)
+
+    key0 = jax.random.PRNGKey(seed)
+    acc_J = np.zeros(meta.nxfreq)
+    peel = 0.0
+    ns = 0.0
+    for i in range(400):
+        state, tl, alive, launched = chunk(
+            state, grid, jax.random.fold_in(key0, i), n_shard, odev, None)
+        acc_J += to_host(tl.Jout)
+        peel += float(to_host(tl.peel.scatt).sum())
+        ns += to_host_scalar(tl.nscatt_gas)
+        if to_host_scalar(alive) == 0 \
+                and to_host_scalar(launched) >= nphotons:
+            break
+    return acc_J, peel, ns / nphotons
+
+
+@pytest.mark.slow
+def test_sphere_fastpath_matches_generic_dda():
+    """Uniform-sphere chord flights + closed-form peel tau vs the
+    voxelized DDA; differences are the O(dx) voxel boundary plus MC
+    noise."""
+    J_f, peel_f, ns_f = _run_sphere(force_generic=False)
+    J_g, peel_g, ns_g = _run_sphere(force_generic=True)
+
+    nph = 8000
+    assert abs(J_f.sum() / nph - 1.0) < 1e-3
+    assert abs(J_g.sum() / nph - 1.0) < 1e-3
+    assert ns_f == pytest.approx(ns_g, rel=0.06), (ns_f, ns_g)
+
+    p1 = J_f / J_f.sum()
+    p2 = J_g / J_g.sum()
+    sel = (p1 + p2) > (p1 + p2).max() * 1e-3
+    var = (np.maximum(p1, 1e-12) + np.maximum(p2, 1e-12)) / nph
+    chi2_dof = float(np.sum((p1[sel] - p2[sel]) ** 2 / var[sel])
+                     / max(sel.sum(), 1))
+    assert chi2_dof < 3.0, chi2_dof
+
+    # peel-off estimator sees the same medium through the chord formula
+    assert peel_f == pytest.approx(peel_g, rel=0.1), (peel_f, peel_g)
