@@ -1,7 +1,16 @@
 """CLI: python -m lart_tpu input.in  (same usage as the reference LaRT.x)."""
 
+import os
 import sys
 import time
+
+# LART_CPU=1 routes a CLI run onto the virtual CPU mesh (this image's
+# sitecustomize force-registers the TPU plugin in every interpreter,
+# overriding JAX_PLATFORMS).  Must happen before the engine import below:
+# module-level jnp constants initialize the backend at import time.
+if os.environ.get('LART_CPU'):
+    from .utils.platform import force_cpu
+    force_cpu(int(os.environ.get('LART_CPU_DEVICES', '8')))
 
 from .config import Params
 from . import driver

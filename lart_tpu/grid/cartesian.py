@@ -510,8 +510,12 @@ def build_cartesian(cfg: ResolvedConfig, host_out: Optional[dict] = None):
     if par.Omega != 0.0 and par.xy_periodic:
         KPC2CM = 3.0856775814913673e21
         om = par.Omega
-        if par.distance_unit.strip() not in ('', 'kpc') \
-                and par.distance2cm > 0:
+        # key the conversion on distance2cm alone (resolve() has already
+        # folded distance_unit into it; kpc gives an identity factor) --
+        # the reference converts for ANY unit other than 'kpc', including
+        # the empty unit (distance2cm=1, setup.f90:479) and an explicit
+        # distance2cm (renamed 'user', setup.f90:484; grid_mod_car.f90:349)
+        if par.distance2cm > 0:
             om = om * (par.distance2cm / KPC2CM)
         omega_shear = par.q * om * (2.0 * xmax) / cfg.vtherm
 

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
@@ -69,7 +69,7 @@ def sharded_chunk(chunk_fn, mesh: Mesh):
         wrapped, mesh=mesh,
         in_specs=(spec_state, P(), P(), P('data'), P(), P()),
         out_specs=(spec_state, P(), P(), P()),
-        check_rep=False))
+        check_vma=False))
 
 
 def device_put_sharded_state(state, mesh: Mesh):

@@ -567,6 +567,10 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
     every non-uniform medium."""
     par = cfg.par
     zmn, zmx = meta.zmin, meta.zmin + meta.nz * meta.dz
+    xmn = meta.xmin
+    ymn = meta.ymin
+    Lx = meta.nx * meta.dx
+    Ly = meta.ny * meta.dy
     a_ref = jnp.float32(meta.voigt_a_ref)
     rho0 = jnp.float32(meta.rho_uniform)
     save_Jmu = par.save_Jmu
@@ -613,7 +617,17 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
             hit = s.tau_run + dtau_exit >= tgt
             d_adv = jnp.where(hit, (tgt - s.tau_run)
                               / jnp.maximum(rho, TINY), d_exit)
+            # advance x/y with the periodic wrap and recompute kc: peel
+            # image binning reads (x, y), peel DDA starts at (ic, jc, kc),
+            # calcP's plane-geometry Pa bin and the cell-local core-skip
+            # dl read kc (advisor r3 finding)
+            x_new = xmn + jnp.mod(s.x + d_adv * s.kx - xmn,
+                                  jnp.float32(Lx))
+            y_new = ymn + jnp.mod(s.y + d_adv * s.ky - ymn,
+                                  jnp.float32(Ly))
             z_new = s.z + d_adv * s.kz
+            kcn = jnp.clip(jnp.floor((z_new - zmn) / meta.dz
+                                     ).astype(jnp.int32), 0, meta.nz - 1)
             tau_n = jnp.where(hit, tgt, s.tau_run + dtau_exit)
             escaped = jnp.logical_and(moving, ~hit)
 
@@ -661,7 +675,10 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
 
             s2 = s._replace(
                 phase=jnp.where(moving, phase_new, s.phase),
+                x=rb(jnp.where(moving, x_new, s.x), s.bx),
+                y=rb(jnp.where(moving, y_new, s.y), s.by),
                 z=rb(jnp.where(moving, z_new, s.z), s.bz),
+                kc=rb(jnp.where(moving, kcn, s.kc), s.bkc),
                 kx=rb(s.kx, s.bkx), ky=rb(s.ky, s.bky), kz=rb(s.kz, s.bkz),
                 xfreq=rb(s.xfreq, s.bxfreq),
                 wgt=jnp.where(ffs_done, s.wgt * wgt1, s.wgt),

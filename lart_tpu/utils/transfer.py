@@ -148,7 +148,13 @@ def tree_to_host(tree, dtype=None):
             moved = _with_watchdog(move)
             for i, m in zip(dev_idx, moved):
                 leaves[i] = m
+        except RuntimeError:
+            # the watchdog already burned TRANSFER_ATTEMPTS x
+            # TRANSFER_TIMEOUT_S on a wedged device; falling back to
+            # per-leaf would pay that budget again for each of ~35 tally
+            # leaves (hours).  A wedge must cost minutes, not the run.
+            raise
         except Exception:
-            pass      # fall through to the per-leaf robust path
+            pass      # non-watchdog failure: per-leaf robust path
     return jax.tree.unflatten(
         treedef, [to_host(a, dtype) for a in leaves])
