@@ -302,6 +302,10 @@ class Params:
     refill_every: int = 4           # refill dead lanes every N cycles
     n_devices: int = 0              # 0 = all visible devices
     precision: str = 'f32'
+    # disable the analytic-flight specializations (uniform slab/sphere)
+    # and force the generic DDA kernel; A/B validation knob used by
+    # tests/test_uniform_slab_fastpath.py and tools/acceptance.py
+    force_generic_kernel: bool = False
 
     # ------------------------------------------------------------------
     @classmethod

@@ -901,10 +901,11 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
         return make_fly_amr(cfg, meta)
     if meta.grid_type == 'clump':
         return make_fly_clump(cfg, meta, cmeta)
-    if uniform_slab_fastpath(cfg, meta):
-        return make_fly_uniform_slab(cfg, meta)
-    if uniform_sphere_fastpath(cfg, meta):
-        return make_fly_uniform_sphere(cfg, meta)
+    if not cfg.par.force_generic_kernel:
+        if uniform_slab_fastpath(cfg, meta):
+            return make_fly_uniform_slab(cfg, meta)
+        if uniform_sphere_fastpath(cfg, meta):
+            return make_fly_uniform_sphere(cfg, meta)
     par = cfg.par
     nx, ny, nz = meta.nx, meta.ny, meta.nz
     dx, dy, dz = meta.dx, meta.dy, meta.dz

@@ -13,23 +13,23 @@ import pytest
 from lart_tpu.config import Params
 
 
-def _run_slab(force_generic, nphotons=20_000, tau0=100.0, seed=9):
+def _run_slab(force_generic, nphotons=20_000, tau0=100.0, seed=9,
+              temperature=1e4):
     import jax
     from lart_tpu.grid.cartesian import build_cartesian
     from lart_tpu.transport import engine
     from lart_tpu.utils.transfer import to_host, to_host_scalar
 
-    par = Params(nphotons=nphotons, temperature=1e4, taumax=tau0,
+    par = Params(nphotons=nphotons, temperature=temperature, taumax=tau0,
                  xy_periodic=True, nx=1, ny=1, nz=101,
                  spectral_type='voigt', source_geometry='point',
                  save_Jmu=True, nmu=8,
+                 force_generic_kernel=force_generic,
                  batch_size=4096, fly_substeps=8, scatter_rounds=4,
                  chunk_cycles=16, refill_every=4)
     cfg = par.resolve()
     meta, grid = build_cartesian(cfg)
     assert meta.rho_uniform > 0.0, 'slab should be detected as uniform'
-    if force_generic:
-        meta = dataclasses.replace(meta, rho_uniform=-1.0)
 
     chunk = jax.jit(engine.make_chunk(cfg, meta))
     state = engine.init_state(par.batch_size)
@@ -77,6 +77,36 @@ def test_fastpath_matches_generic_dda():
     assert chi2_dof < 3.0, chi2_dof
 
     # angular distribution agrees too
+    m1 = Jmu_f.reshape(-1, 8).sum(axis=0)
+    m2 = Jmu_g.reshape(-1, 8).sum(axis=0)
+    np.testing.assert_allclose(m1 / m1.sum(), m2 / m2.sum(), atol=0.02)
+
+
+@pytest.mark.slow
+def test_fastpath_matches_generic_dda_T10():
+    """T=10 K (voigt a = 1.49e-2, the acceptance low-temperature regime;
+    round-3 red case neufeld_tau1e4_T10): the analytic-flight path and the
+    generic DDA must agree at large damping parameter too.  tau0 is kept
+    moderate so the CPU A/B completes in minutes; the large-a Voigt/
+    redistribution physics is exercised identically."""
+    nph = 6000
+    J_f, Jmu_f, ns_f = _run_slab(force_generic=False, nphotons=nph,
+                                 tau0=500.0, temperature=10.0, seed=21)
+    J_g, Jmu_g, ns_g = _run_slab(force_generic=True, nphotons=nph,
+                                 tau0=500.0, temperature=10.0, seed=21)
+
+    assert abs(J_f.sum() / nph - 1.0) < 1e-3
+    assert abs(J_g.sum() / nph - 1.0) < 1e-3
+    assert ns_f == pytest.approx(ns_g, rel=0.05), (ns_f, ns_g)
+
+    p1 = J_f / J_f.sum()
+    p2 = J_g / J_g.sum()
+    sel = (p1 + p2) > (p1 + p2).max() * 1e-3
+    var = (np.maximum(p1, 1e-12) + np.maximum(p2, 1e-12)) / nph
+    chi2_dof = float(np.sum((p1[sel] - p2[sel]) ** 2 / var[sel])
+                     / max(sel.sum(), 1))
+    assert chi2_dof < 3.0, chi2_dof
+
     m1 = Jmu_f.reshape(-1, 8).sum(axis=0)
     m2 = Jmu_g.reshape(-1, 8).sum(axis=0)
     np.testing.assert_allclose(m1 / m1.sum(), m2 / m2.sum(), atol=0.02)

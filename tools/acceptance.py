@@ -80,6 +80,7 @@ def run_analytic_case(name, analytic, tau0, T, nphotons, *, geometry,
     kw = dict(nphotons=nphotons, temperature=T, taumax=tau0,
               spectral_type='voigt', source_geometry='point',
               core_skip=core_skip,
+              force_generic_kernel=bool(os.environ.get('LART_FORCE_GENERIC')),
               batch_size=min(1 << 16,
                              1 << max(10, (nphotons - 1).bit_length())),
               fly_substeps=8,
@@ -214,8 +215,15 @@ def main():
     os.makedirs('results', exist_ok=True)
     cases = []
     failures = []
+    # optional case filter: python tools/acceptance.py [case ...]
+    # (substring match); a filtered run writes to results/acceptance_partial
+    # so the committed full artifact is never clobbered by a rerun subset
+    only = [a for a in sys.argv[1:] if not a.startswith('-')]
 
     def guard(fn, *a, **kw):
+        name = a[0] if a else 'parity_sphere'
+        if only and not any(o in name for o in only):
+            return
         try:
             cases.append(fn(*a, **kw))
         except AssertionError as e:
@@ -253,10 +261,11 @@ def main():
                               'nscatt_rtol': NSCATT_RTOL},
                'passed': not failures, 'failures': failures,
                'summary': summary, 'cases': cases}
-    with open('results/acceptance_r2.json', 'w') as fh:
+    out = 'results/acceptance_r2.json' if not only \
+        else 'results/acceptance_partial.json'
+    with open(out, 'w') as fh:
         json.dump(payload, fh)
-    print(f"wrote results/acceptance_r2.json  passed={not failures}",
-          flush=True)
+    print(f"wrote {out}  passed={not failures}", flush=True)
     if failures:
         sys.exit(1)
 
