@@ -95,6 +95,158 @@ class PeelObservation:
                                cube, axes=(0, 0)) / m0 - m1 ** 2
             return np.where(m0 > 0, np.sqrt(np.maximum(dv2, 0.0)), np.nan)
 
+    # --- spectral-cube helpers (the surface the reference's MUSE/DL2008
+    #     example plot scripts consume: read_lart.py slicing +
+    #     astropy.convolution usage in examples/SSH_MUSE/plot_muse_*.py)
+
+    def sb_map(self, component: str = 'total', xsel=None) -> np.ndarray:
+        """Surface-brightness map: the cube integrated over a frequency
+        window.  xsel is a boolean mask or (i0, i1) slice pair over the
+        frequency axis; None integrates everything (= moment0)."""
+        cube = getattr(self, 'total' if component == 'total' else component)
+        if xsel is None:
+            return cube.sum(axis=0)
+        if isinstance(xsel, tuple):
+            return cube[xsel[0]:xsel[1]].sum(axis=0)
+        return cube[np.asarray(xsel, bool)].sum(axis=0)
+
+    def aperture_spectrum(self, r_pix: float,
+                          component: str = 'total') -> np.ndarray:
+        """Spectrum summed over pixels within ``r_pix`` of image center."""
+        cube = getattr(self, 'total' if component == 'total' else component)
+        if cube.ndim != 3:
+            raise ValueError('aperture_spectrum needs an image cube')
+        ny, nx = cube.shape[1:]
+        yy, xx = np.indices((ny, nx)) + 0.5
+        r = np.hypot(xx - nx / 2.0, yy - ny / 2.0)
+        m = r <= r_pix
+        return cube[:, m].sum(axis=1)
+
+    def _psf_kernel(self, fwhm_pix: float, kind: str, beta: float):
+        half = max(int(np.ceil(fwhm_pix * 3)), 2)
+        yy, xx = np.indices((2 * half + 1, 2 * half + 1)) - half
+        r2 = xx ** 2 + yy ** 2
+        if kind == 'moffat':
+            # core width alpha from FWHM = 2 alpha sqrt(2^(1/beta)-1)
+            alpha = fwhm_pix / (2.0 * np.sqrt(2.0 ** (1.0 / beta) - 1.0))
+            k = (1.0 + r2 / alpha ** 2) ** (-beta)
+        else:
+            sig = fwhm_pix / (2.0 * np.sqrt(2.0 * np.log(2.0)))
+            k = np.exp(-0.5 * r2 / sig ** 2)
+        return k / k.sum()
+
+    def convolve_psf(self, fwhm_pix: float, kind: str = 'gaussian',
+                     beta: float = 2.5) -> 'PeelObservation':
+        """Return a copy with every plane convolved by a Gaussian or
+        Moffat PSF (the seeing-matching step of the reference's MUSE
+        comparison, examples/SSH_MUSE/plot_muse_profiles.py which uses
+        Moffat2DKernel).  Flux-conserving; frequency axis untouched."""
+        from scipy.signal import fftconvolve
+        k = self._psf_kernel(fwhm_pix, kind, beta)
+        # boundary renormalization by the kernel coverage, matching the
+        # astropy convolve(normalize_kernel=True) behavior the reference
+        # scripts rely on (flux is conserved, not lost off-frame)
+        cov = None
+
+        def conv(cube):
+            nonlocal cov
+            if cube is None or np.ndim(cube) != 3:
+                return cube
+            if cov is None:
+                cov = fftconvolve(np.ones(cube.shape[1:]), k, mode='same')
+                cov = np.maximum(cov, 1e-12)
+            return fftconvolve(cube, k[None], mode='same') / cov[None]
+        out = PeelObservation(
+            filename=self.filename, header=dict(self.header),
+            scatt=conv(self.scatt), direc=conv(self.direc),
+            stokes={kk: conv(v) for kk, v in self.stokes.items()},
+            radial=self.radial, healpix=self.healpix)
+        return out
+
+    def convolve_spectral(self, fwhm_bins: float) -> 'PeelObservation':
+        """Return a copy smoothed along the frequency axis by a Gaussian
+        of the given FWHM (in frequency bins) -- the instrument
+        resolution-matching step (Gaussian1DKernel in the reference's
+        MUSE scripts; R = lambda/dlambda converts to bins upstream)."""
+        from scipy.ndimage import gaussian_filter1d
+        sig = fwhm_bins / (2.0 * np.sqrt(2.0 * np.log(2.0)))
+
+        def conv(cube):
+            if cube is None:
+                return cube
+            return gaussian_filter1d(np.asarray(cube, np.float64), sig,
+                                     axis=0, mode='constant')
+        out = PeelObservation(
+            filename=self.filename, header=dict(self.header),
+            scatt=conv(self.scatt), direc=conv(self.direc),
+            stokes={kk: conv(v) for kk, v in self.stokes.items()},
+            radial=self.radial, healpix=self.healpix)
+        return out
+
+    def radial_sb_profile(self, component: str = 'total', xsel=None,
+                          normalize: bool = True, whole_area: bool = False):
+        """(r, I(r)) azimuthal average of the SB map (the reference's
+        examples/SSH_MUSE/radial_profile.py contract)."""
+        return radial_profile(self.sb_map(component, xsel),
+                              normalize=normalize, whole_area=whole_area)
+
+    def polarization_radial_profile(self):
+        """(r, P) = sqrt(Q^2+U^2)/I from the Stokes radial table when the
+        writer recorded one (the DL2008 figure's right panel,
+        examples/DL2008/plot_fig.py), else from the Stokes cubes."""
+        if self.radial and all(k in self.radial for k in ('r', 'I', 'Q',
+                                                          'U')):
+            r = np.asarray(self.radial['r'], np.float64)
+            I = np.asarray(self.radial['I'], np.float64)
+            Q = np.asarray(self.radial['Q'], np.float64)
+            U = np.asarray(self.radial['U'], np.float64)
+            with np.errstate(invalid='ignore', divide='ignore'):
+                return r, np.where(I > 0, np.hypot(Q, U) / I, np.nan)
+        if not all(k in self.stokes for k in ('I', 'Q', 'U')):
+            raise ValueError('no Stokes information in this observation')
+        rI, pI = radial_profile(self.stokes['I'].sum(axis=0),
+                                normalize=False)
+        _, pQ = radial_profile(self.stokes['Q'].sum(axis=0),
+                               normalize=False)
+        _, pU = radial_profile(self.stokes['U'].sum(axis=0),
+                               normalize=False)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            return rI, np.where(pI > 0, np.hypot(pQ, pU) / pI, np.nan)
+
+
+def radial_profile(data, center=None, normalize: bool = True,
+                   whole_area: bool = False):
+    """Azimuthally averaged radial profile of a 2-D map.
+
+    Same contract as the reference helper (examples/SSH_MUSE/
+    radial_profile.py): pixel (i, j) has center (i+0.5, j+0.5); integer
+    radial bins by floor(r); ``whole_area=False`` truncates at the
+    largest fully-sampled annulus; ``normalize=True`` rescales r to
+    [0, 1] by that maximum."""
+    data = np.asarray(data, np.float64)
+    ny, nx = data.shape
+    if center is None:
+        center = [nx / 2.0, ny / 2.0]
+    roff = -0.5 if (nx % 2 == 1 and ny % 2 == 1) else 0.0
+    yy, xx = np.indices(data.shape) + 0.5
+    r = np.hypot(xx - center[0], yy - center[1])
+    ridx = np.floor(r - roff).astype(np.int64)
+    tbin = np.bincount(ridx.ravel(), weights=data.ravel())
+    nbin = np.bincount(ridx.ravel())
+    with np.errstate(invalid='ignore', divide='ignore'):
+        prof = tbin / nbin
+    rarr = np.arange(prof.size, dtype=np.float64)
+    xmax = np.max(xx - center[0])
+    ymax = np.max(yy - center[1])
+    rmax = max(xmax, ymax)
+    if not whole_area:
+        rmax = min(xmax, ymax)
+        keep = rarr <= rmax
+        rarr, prof = rarr[keep], prof[keep]
+    if normalize:
+        rarr = rarr / rmax
+    return rarr, prof
+
 
 @dataclass
 class LaRTOutput:
