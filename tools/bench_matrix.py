@@ -65,10 +65,16 @@ def main():
                      refill_every=4)
     rows = []
 
-    # 1. north star: Neufeld slab tau0=1e6 (examples/slab/t1tau6.in)
-    rows.append(bench_config('slab_tau1e6', Params(
-        temperature=1e4, taumax=1e6, xy_periodic=True, nx=1, ny=1, nz=201,
-        spectral_type='voigt', source_geometry='point', **engine_kw)))
+    # 1a. north star: Neufeld slab tau0=1e6 (examples/slab/t1tau6.in) --
+    # the analytic-flight fast path
+    slab_kw = dict(temperature=1e4, taumax=1e6, xy_periodic=True,
+                   nx=1, ny=1, nz=201, spectral_type='voigt',
+                   source_geometry='point', **engine_kw)
+    rows.append(bench_config('slab_tau1e6', Params(**slab_kw)))
+    # 1b. the same medium through the GENERIC DDA kernel (the path every
+    # velocity-field/dust/file-grid run takes); the optimization target
+    rows.append(bench_config('slab_tau1e6_generic', Params(
+        force_generic_kernel=True, **slab_kw)))
 
     # 2a/2b. uniform sphere tau0=1e4 with and without 129x129 Stokes
     # peel-off (examples/sphere_peel/t4tau4_peel.in); the difference is the

@@ -45,6 +45,10 @@ def run_case(infile, nphotons, *, grid_scale=1.0, seed=11):
     par = dataclasses.replace(
         par, nphotons=nphotons, nx=n, ny=n, nz=n,
         save_peeloff=False, use_stokes=False,
+        # a few % of photons scatter into the shell-frame core and
+        # random-walk ~tau0 times (the physical trapped tail); core-skip
+        # accelerates them without changing the emergent peaks materially
+        core_skip=bool(os.environ.get('LART_DL2008_CORE_SKIP')),
         batch_size=min(1 << 16,
                        1 << max(12, (nphotons - 1).bit_length())),
         chunk_cycles=32, out_file='')
