@@ -214,11 +214,18 @@ def run(par: Params, *, seed: Optional[int] = None,
         jax.profiler.start_trace(par.profile_dir)
         prof_active = True
 
+    # adaptive chunk length: the straggler tail advances ~1 scatter per
+    # cycle per lane, so once the batch is nearly drained the fixed
+    # host<->device sync latency per chunk dominates wall time; lengthen
+    # chunks to keep (lanes x cycles) per chunk roughly constant.  One
+    # compile serves every length (dynamic fori_loop bound).
+    boost = 1
     for ci in range(ci0, max_chunks):
         t_chunk = time.time()
         key = jax.random.fold_in(key0, ci)
-        state, tallies, alive, launched = chunk(state, grid, key, n_shard,
-                                                odev, src)
+        state, tallies, alive, launched = chunk(
+            state, grid, key, n_shard, odev, src,
+            par.chunk_cycles * boost)
         # finish the chunk before ANY transfer: see utils/transfer.py;
         # one batched transfer for tallies + loop-control scalars
         jax.block_until_ready(tallies)
@@ -294,6 +301,14 @@ def run(par: Params, *, seed: Optional[int] = None,
             _save_checkpoint(par.checkpoint_file, state, acc, ci + 1)
         if launched >= nphotons and alive == 0:
             break
+        # tail boost: after the budget is exhausted no new photons
+        # launch, so longer chunks cannot overshoot -- scale cycles by
+        # the drain factor (cap 64x => worst case one extra chunk of
+        # over-integration for already-dead lanes, which is free)
+        if launched >= nphotons and alive > 0:
+            boost = int(np.clip((B * n_dev) // max(alive, 1), 1, 64))
+        else:
+            boost = 1
         # --- tail-phase batch shrinking: once the photon budget is
         # exhausted, the batch only drains; compact the surviving lanes
         # into a 4x smaller batch so the tail does not run at full-batch

@@ -49,15 +49,23 @@ def sharded_chunk(chunk_fn, mesh: Mesh):
     programs orders of magnitude slower than plain programs.
     """
     if len(mesh.devices.ravel()) == 1:
-        def single(state, grid, key, n_shard, odev, src=None):
-            return chunk_fn(state, grid, key, n_shard, odev, src)
-        return jax.jit(single)
+        jitted = jax.jit(
+            lambda state, grid, key, n_shard, odev, src, n_cycles:
+            chunk_fn(state, grid, key, n_shard, odev, src, n_cycles))
 
-    def wrapped(state, grid, key, n_shard, odev, src):
+        def single(state, grid, key, n_shard, odev=None, src=None,
+                   n_cycles=None):
+            if n_cycles is None:
+                n_cycles = -1    # sentinel: chunk uses its static count
+            return jitted(state, grid, key, n_shard, odev, src,
+                          jnp.asarray(n_cycles, jnp.int32))
+        return single
+
+    def wrapped(state, grid, key, n_shard, odev, src, n_cycles):
         # decorrelate device RNG streams
         key = jax.random.fold_in(key, jax.lax.axis_index('data'))
-        state, tallies, alive, launched = chunk_fn(state, grid, key,
-                                                   n_shard, odev, src)
+        state, tallies, alive, launched = chunk_fn(
+            state, grid, key, n_shard, odev, src, n_cycles)
         tallies = jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, 'data'), tallies)
         alive = jax.lax.psum(alive, 'data')
@@ -65,11 +73,21 @@ def sharded_chunk(chunk_fn, mesh: Mesh):
         return state, tallies, alive, launched
 
     spec_state = P('data')
-    return jax.jit(shard_map(
+    inner = jax.jit(shard_map(
         wrapped, mesh=mesh,
-        in_specs=(spec_state, P(), P(), P('data'), P(), P()),
+        in_specs=(spec_state, P(), P(), P('data'), P(), P(), P()),
         out_specs=(spec_state, P(), P(), P()),
         check_vma=False))
+
+    def call(state, grid, key, n_shard, odev=None, src=None,
+             n_cycles=None):
+        if n_cycles is None:
+            n_cycles = jnp.int32(-1)   # sentinel: never passed (driver
+        # always supplies a value); kept so positional call sites with 6
+        # args keep working
+        return inner(state, grid, key, n_shard, odev, src,
+                     jnp.asarray(n_cycles, jnp.int32))
+    return call
 
 
 def device_put_sharded_state(state, mesh: Mesh):

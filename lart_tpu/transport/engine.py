@@ -2806,7 +2806,8 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
 
     nmu_t = cfg.par.nmu if cfg.par.save_Jmu else 0
 
-    def chunk(state, grid, key, n_shard, odev=None, src=None):
+    def chunk(state, grid, key, n_shard, odev=None, src=None,
+              n_cycles_dyn=None):
         tallies = zero_tallies(meta.nxfreq, peel=peel_zero(), nmu=nmu_t,
                                nbin_JPa=meta.nbin_JPa, calcJ=cfg.par.calcJ,
                                calcP=cfg.par.calcP,
@@ -2825,8 +2826,19 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
             st, tl = cycle(i, st, grid, tl, key, n_shard, odev, src)
             return st, tl
 
-        state, tallies = jax.lax.fori_loop(0, n_cycles, body,
-                                           (state, tallies))
+        # n_cycles_dyn (traced int32) lets the driver lengthen chunks as
+        # the batch drains: the straggler tail advances ~1 scatter per
+        # cycle, so at fixed 64 cycles/chunk the per-chunk host sync
+        # latency dominates the tail wall time (measured 5.6e5 scatt/s
+        # vs 31M steady-state on the T=10 acceptance case).  fori_loop
+        # accepts a traced bound (lowers to while_loop), so one compile
+        # serves every chunk length.
+        if n_cycles_dyn is None:
+            ncy = n_cycles
+        else:
+            # negative sentinel (sharded wrapper default) = static count
+            ncy = jnp.where(n_cycles_dyn < 0, n_cycles, n_cycles_dyn)
+        state, tallies = jax.lax.fori_loop(0, ncy, body, (state, tallies))
         alive = jnp.sum((state.phase != DEAD).astype(jnp.int32))
         return state, tallies, alive, state.n_launched[0]
 
