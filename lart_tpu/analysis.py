@@ -194,14 +194,17 @@ class PeelObservation:
         """(r, P) = sqrt(Q^2+U^2)/I from the Stokes radial table when the
         writer recorded one (the DL2008 figure's right panel,
         examples/DL2008/plot_fig.py), else from the Stokes cubes."""
-        if self.radial and all(k in self.radial for k in ('r', 'I', 'Q',
-                                                          'U')):
-            r = np.asarray(self.radial['r'], np.float64)
-            I = np.asarray(self.radial['I'], np.float64)
-            Q = np.asarray(self.radial['Q'], np.float64)
-            U = np.asarray(self.radial['U'], np.float64)
-            with np.errstate(invalid='ignore', divide='ignore'):
-                return r, np.where(I > 0, np.hypot(Q, U) / I, np.nan)
+        rad = self.radial or {}
+        # writer flavor ('stokes_*', _load_peel) or plain 'r'/'I'/'Q'/'U'
+        for rk, pre in (('stokes_radius', 'stokes_'), ('r', '')):
+            ks = (rk, pre + 'I', pre + 'Q', pre + 'U')
+            if all(k in rad for k in ks):
+                r = np.asarray(rad[rk], np.float64)
+                I = np.asarray(rad[pre + 'I'], np.float64)
+                Q = np.asarray(rad[pre + 'Q'], np.float64)
+                U = np.asarray(rad[pre + 'U'], np.float64)
+                with np.errstate(invalid='ignore', divide='ignore'):
+                    return r, np.where(I > 0, np.hypot(Q, U) / I, np.nan)
         if not all(k in self.stokes for k in ('I', 'Q', 'U')):
             raise ValueError('no Stokes information in this observation')
         rI, pI = radial_profile(self.stokes['I'].sum(axis=0),
