@@ -83,6 +83,24 @@ def test_analytic_spectra_shape_match(acceptance):
         assert np.trapezoid(pm, x) == pytest.approx(1.0, rel=1e-6)
 
 
+def test_systematic_floor_documented(acceptance):
+    """The analytic-shape chi2 carries a finite-(a tau0) model-error
+    floor (Neufeld/Dijkstra are wing-diffusion solutions, exact only as
+    a*tau0 -> inf); the artifact must keep BOTH the floored chi2 and the
+    raw MC-noise-only chi2 so the actual distance to the analytic
+    formula stays visible (tools/acceptance.py SYS_COEF rationale)."""
+    th = acceptance['thresholds']
+    assert 0.0 < th.get('sys_coef', 0.0) <= 1.0
+    for c in acceptance['summary']:
+        if c['case'] == 'parity_sphere':
+            continue
+        assert 'chi2_raw' in c, c['case']
+        assert 'sys_floor_frac_of_peak' in c, c['case']
+        # the floor shrinks as (a tau0)^(-1/3)
+        assert c['sys_floor_frac_of_peak'] == pytest.approx(
+            th['sys_coef'] * c['atau0'] ** (-1.0 / 3.0))
+
+
 @pytest.mark.slow
 def test_neufeld_live_small():
     """Live (CPU) Neufeld check at tau0=1e4, T=10 K -- asserts the physics
