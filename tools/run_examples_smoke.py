@@ -1,0 +1,153 @@
+"""Run a curated set of example namelists end-to-end and commit the log.
+
+The reference's examples tree doubles as its regression record: each dir
+carries committed run logs (e.g. examples/amr_sphere_generic/log_*_1M.txt,
+examples/sphere_peel/out.txt) so changes can be diffed against known
+numbers.  This runner executes a representative subset of this repo's
+example namelists at reduced photon budgets, records <N_scatt>, weight
+conservation and wall time per example, and writes
+
+    examples/RUNLOG.json  +  examples/RUNLOG.md
+
+which tests/test_examples.py can re-assert.  Examples whose full-scale
+physics demands the TPU (DL2008, SSH_MUSE, tau>=1e6 slabs) are covered
+by their dedicated tools instead.
+
+Usage:  LART_ACCEPT_CPU=1 python tools/run_examples_smoke.py [name ...]
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get('LART_ACCEPT_CPU'):
+    from lart_tpu.utils.platform import force_cpu
+    force_cpu(8)
+
+HERE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'examples')
+
+# (dir, namelist, nphotons, overrides, expected-invariant notes)
+CURATED = [
+    ('sphere', 't4tau4.in', 3000, {}, '<N>~0.9tau w/ core-skip'),
+    ('slab_peel', None, 3000, {}, 'slab + peel cube'),
+    ('h2_test', 'h2_on.in', 2000, {}, 'H2 pumping budget'),
+    ('h2_test', 'h2_off.in', 2000, {}, 'bit-identity control'),
+    ('lya_HD', None, 2000, {}, 'H+D deuterium feature'),
+    ('HeI_sphere', None, 2000, {}, 'HeI 10833 triplet'),
+    ('SiII_1193', None, 2000, {}, 'resonance+fluorescence'),
+    ('emiss_1D_AlII', 'AlII_ex.in', 2000, {'nxim': 32, 'nyim': 32},
+     'diffuse emissivity + peel'),
+    ('vel_effect', None, 2000, {}, 'velocity-field slab'),
+    ('many_stars', None, 2000, {}, 'star_file source'),
+    ('healpix_CIV', None, 2000, {'nside': 8}, 'inside HEALPix observer'),
+    ('clump_sphere', None, 2000, {}, 'clumpy medium'),
+    ('amr_sphere', None, 2000, {}, 'octree AMR'),
+    ('rotating_solid_body', None, 2000, {}, 'rotating velocity model'),
+    ('tigress_shear', None, 1000, {}, 'shearing box'),
+]
+
+
+def find_namelist(d, name):
+    full = os.path.join(HERE, d)
+    if name:
+        return os.path.join(full, name)
+    ins = sorted(f for f in os.listdir(full) if f.endswith('.in'))
+    if not ins:
+        return None
+    # smallest config first (they are all parse-tested already)
+    return os.path.join(full, ins[0])
+
+
+def run_one(d, name, nph, overrides):
+    from lart_tpu.config import Params
+    from lart_tpu import driver
+
+    path = find_namelist(d, name)
+    if path is None or not os.path.exists(path):
+        return {'example': d, 'namelist': name, 'status': 'missing'}
+    par = Params.from_namelist(path)
+    kw = dict(nphotons=nph, batch_size=2048, chunk_cycles=16,
+              out_file='', **overrides)
+    # keep runs bounded: small grids when the namelist is huge
+    for ax in ('nx', 'ny', 'nz'):
+        if getattr(par, ax) > 129:
+            kw[ax] = 65
+    par = dataclasses.replace(par, **kw)
+    cwd = os.getcwd()
+    os.chdir(os.path.join(HERE, d))   # file-relative inputs (stars, grids)
+    t0 = time.time()
+    try:
+        res = driver.run(par, seed=17, max_chunks=20000)
+    except Exception as e:
+        return {'example': d, 'namelist': os.path.basename(path),
+                'status': f'ERROR: {type(e).__name__}: {e}'}
+    finally:
+        os.chdir(cwd)
+    wall = time.time() - t0
+    esc = float(res.Jout.sum() * res.meta.dxfreq * 4.0 * np.pi)
+    absd = float((res.Jabs.sum() if res.Jabs is not None else 0.0)
+                 * res.meta.dxfreq * 4.0 * np.pi)
+    Ha = float((res.Jout_Ha.sum() + res.Jabs_Ha.sum())
+               * res.meta.dxfreq * 4.0 * np.pi) \
+        if res.Jout_Ha is not None else 0.0
+    h2_lost = res.W_H2abs
+    atm = 0.0
+    if getattr(res, 'Jabs2', None) is not None:
+        atm = float(np.sum(res.Jabs2) * res.meta.dxfreq * 4.0 * np.pi)
+    budget = esc + absd + Ha + h2_lost + atm
+    out = {'example': d, 'namelist': os.path.basename(path),
+           'status': 'ok', 'nphotons': par.nphotons,
+           'nscatt': float(res.nscatt_tot), 'escaped': esc,
+           'absorbed': absd, 'budget': budget, 'wall_s': round(wall, 1)}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    only = sys.argv[1:]
+    rows = []
+    for d, name, nph, overrides, note in CURATED:
+        if only and d not in only:
+            continue
+        r = run_one(d, name, nph, overrides)
+        r['note'] = note
+        rows.append(r)
+
+    import jax
+    payload = {'platform': jax.devices()[0].platform, 'rows': rows}
+    with open(os.path.join(HERE, 'RUNLOG.json'), 'w') as fh:
+        json.dump(payload, fh, indent=1)
+
+    lines = ['# Example run log (committed evidence)', '',
+             f"Platform: {payload['platform']}.  Reduced photon budgets; "
+             'regenerate with `LART_ACCEPT_CPU=1 python '
+             'tools/run_examples_smoke.py`.', '',
+             '| example | namelist | nph | <N_scatt> | weight budget | '
+             'wall [s] | note |',
+             '|---|---|---|---|---|---|---|']
+    for r in rows:
+        if r['status'] != 'ok':
+            lines.append(f"| {r['example']} | {r.get('namelist','-')} | - | "
+                         f"- | - | - | {r['status']} |")
+            continue
+        lines.append(
+            f"| {r['example']} | {r['namelist']} | {r['nphotons']} | "
+            f"{r['nscatt']:.4g} | {r['budget']:.4f} | {r['wall_s']} | "
+            f"{r['note']} |")
+    with open(os.path.join(HERE, 'RUNLOG.md'), 'w') as fh:
+        fh.write('\n'.join(lines) + '\n')
+    bad = [r for r in rows if r['status'] != 'ok'
+           or abs(r['budget'] - 1) > 0.05]
+    print(f"wrote examples/RUNLOG.md ({len(rows)} rows, "
+          f"{len(bad)} flagged)", flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
