@@ -60,6 +60,13 @@ class RunResult:
     # sight-line tau/column maps: list per observer of dicts
     # {'tau_gas','N_gas','tau_dust'} (make_sightline_tau)
     sightline: Optional[list] = None
+    # raw (pre-normalization) weight fractions: escaped / dust-absorbed
+    # photon weight per launched photon.  The normalized Jout carries a
+    # geometry-dependent luminosity/area denominator (slab 2 faces x 2pi,
+    # sphere 2pi x 4pi r^2 ...; output_sum_rect.f90), so conservation
+    # checks must use THESE, not integrate the normalized spectrum.
+    W_escape: float = 0.0
+    W_absorb: float = 0.0
 
     @property
     def line(self):
@@ -236,4 +243,6 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
         W_H2abs=raw.get('W_H2abs', 0.0) / nphotons,
         W_H2scat=raw.get('W_H2scat', 0.0) / nphotons,
         W_H2pump=(raw['W_H2pump'] / nphotons
-                  if 'W_H2pump' in raw else None))
+                  if 'W_H2pump' in raw else None),
+        W_escape=float(np.sum(raw['Jout'])) / nphotons,
+        W_absorb=float(np.sum(raw.get('Jabs', 0.0))) / nphotons)

@@ -136,8 +136,11 @@ def run_analytic_case(name, analytic, tau0, T, nphotons, *, geometry,
     chi2, chi2_raw, ndof, pm, pa = shape_chi2(x, res.Jout.copy(), Ja,
                                               nphotons, atau0=atau0)
 
-    # escaped-weight conservation (no dust: everything escapes)
-    esc = res.Jout.sum() * res.meta.dxfreq * 4.0 * np.pi
+    # escaped-weight conservation (no dust: everything escapes); raw
+    # pre-normalization fraction -- the normalized Jout carries a
+    # geometry-dependent luminosity denominator (slab 4pi, sphere
+    # 2pi*4pi*r^2; tally.normalize)
+    esc = res.W_escape
 
     xp_model = abs(x[np.argmax(pm)])
     xp_exact = (1.0663 if geometry == 'slab' else 0.92) * atau0 ** (1 / 3)
