@@ -327,8 +327,11 @@ def main():
           n(50_000), geometry='slab')
     guard(run_analytic_case, 'neufeld_tau1e5_T10', neufeld_J, 1e5, 10.0,
           n(20_000), geometry='slab', core_skip=True)
+    # 20k photons: <N_scatt> ~ 1.6e6 makes this the heaviest case by far
+    # (3e10 scatterings, ~30x case 1's total work); 20k keeps per-bin MC
+    # noise ~1.5% -- far below every threshold -- at ~1h single-chip
     guard(run_analytic_case, 'neufeld_tau1e6_T1e4', neufeld_J, 1e6, 1e4,
-          n(50_000), geometry='slab', core_skip=True)
+          n(20_000), geometry='slab', core_skip=True)
     guard(run_analytic_case, 'dijkstra_tau1e5_T1e4', dijkstra_J, 1e5, 1e4,
           n(20_000), geometry='sphere', core_skip=True, n_cells=129)
     guard(run_parity_sphere, nphotons=n(30_000))

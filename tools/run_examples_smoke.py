@@ -35,10 +35,10 @@ HERE = os.path.join(os.path.dirname(os.path.dirname(
 # (dir, namelist, nphotons, overrides, expected-invariant notes)
 CURATED = [
     ('sphere', 't4tau7.in', 1500, {}, '<N>~0.9tau w/ core-skip'),
-    ('slab_peel', None, 1000, {}, 'slab + peel cube'),
-    ('h2_test', 'h2_on.in', 2000, {}, 'H2 pumping budget'),
-    ('h2_test', 'h2_off.in', 2000, {}, 'bit-identity control'),
-    ('lya_HD', None, 2000, {}, 'H+D deuterium feature'),
+    ('slab_peel', None, 600, {}, 'slab + peel cube'),
+    ('h2_test', 'h2_on.in', 1000, {}, 'H2 pumping budget'),
+    ('h2_test', 'h2_off.in', 1000, {}, 'bit-identity control'),
+    ('lya_HD', None, 1000, {}, 'H+D deuterium feature'),
     ('HeI_sphere', None, 2000, {}, 'HeI 10833 triplet'),
     ('SiII_1193', None, 2000, {}, 'resonance+fluorescence'),
     ('emiss_1D_AlII', 'AlII_ex.in', 2000, {'nxim': 32, 'nyim': 32},
