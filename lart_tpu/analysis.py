@@ -682,6 +682,14 @@ def check_flux(out, verbose: bool = True) -> Dict:
     budget['F_abs2'] = tot(out.Jabs2)
     budget['F_in'] = tot(out.Jin)
     closure = budget['F_esc'] + budget['F_abs'] + budget['F_abs2']
+    # prefer the raw per-photon weight keywords when the writer recorded
+    # them: the normalized spectra carry geometry-dependent luminosity
+    # denominators (sphere 2pi*4pi*r^2 vs slab 4pi; tally.normalize), so
+    # the 4pi integral above closes to 1 only for slab-normalized runs
+    if h.get('W_esc') is not None:
+        budget['W_esc'] = float(h['W_esc'])
+        budget['W_abs'] = float(h.get('W_abs', 0.0))
+        closure = budget['W_esc'] + budget['W_abs']
     for k in ('W_esc1', 'W_abs1', 'W_conv', 'W_esc2', 'W_abs2',
               'W_H2abs', 'W_H2scat'):
         if h.get(k) is not None:

@@ -118,7 +118,8 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
     nsc_gas, nsc_dust = res.nscatt_gas, res.nscatt_dust
     scal = {k: getattr(res, k) for k in
             ('W_conv', 'W_esc1', 'W_abs1', 'W_esc2', 'W_abs2',
-             'W_H2abs', 'W_H2scat', 'flux_factor', 'nrejected')}
+             'W_H2abs', 'W_H2scat', 'flux_factor', 'nrejected',
+             'W_escape', 'W_absorb')}
     scal['W_H2pump'] = res.W_H2pump
     allph = res.allph
     if merged is not None:
@@ -209,6 +210,10 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
             'Nsc_dust': nsc_dust,
             'Nsc_gas': nsc_gas,
             'Nsc_tot': nsc_gas + nsc_dust,
+            # raw escaped/absorbed weight per photon: the conservation
+            # check that the geometry-normalized spectra cannot provide
+            'W_esc': scal['W_escape'],
+            'W_abs': scal['W_absorb'],
             'nx': meta.nx, 'ny': meta.ny, 'nz': meta.nz,
             'xmax': par.xmax, 'ymax': par.ymax, 'zmax': par.zmax,
             'EXTNAME': 'Spectrum',
@@ -421,7 +426,8 @@ def _read_for_merge(filename: str) -> dict:
                       ('W_conv', 'W_conv'), ('W_esc1', 'W_esc1'),
                       ('W_abs1', 'W_abs1'), ('W_esc2', 'W_esc2'),
                       ('W_abs2', 'W_abs2'),
-                      ('W_H2abs', 'H2ABS'), ('W_H2scat', 'H2SCAT')):
+                      ('W_H2abs', 'H2ABS'), ('W_H2scat', 'H2SCAT'),
+                      ('W_escape', 'W_esc'), ('W_absorb', 'W_abs')):
         out[key] = float(g.attrs[attr]) if attr in g.attrs else None
     if 'H2PUMP1' in g.attrs:
         out['W_H2pump'] = np.array([float(g.attrs['H2PUMP1']),
