@@ -32,55 +32,60 @@ def main():
     enable_compilation_cache()
     n_dev = len(jax.devices())
 
-    par = Params(
-        nphotons=1_000_000_000, temperature=1e4, taumax=1e6,
-        xy_periodic=True, nx=1, ny=1, nz=201,
-        spectral_type='voigt', source_geometry='point',
-        batch_size=1 << 17, fly_substeps=8, scatter_rounds=4,
-        chunk_cycles=32, refill_every=4)
-    cfg = par.resolve()
-    meta, grid = build_cartesian(cfg)
+    def measure(force_generic):
+        par = Params(
+            nphotons=1_000_000_000, temperature=1e4, taumax=1e6,
+            xy_periodic=True, nx=1, ny=1, nz=201,
+            spectral_type='voigt', source_geometry='point',
+            force_generic_kernel=force_generic,
+            batch_size=1 << 17, fly_substeps=8, scatter_rounds=4,
+            chunk_cycles=32, refill_every=4)
+        cfg = par.resolve()
+        meta, grid = build_cartesian(cfg)
 
-    m = pmesh.make_mesh(0)
-    budgets = pmesh.shard_budget(par.nphotons, n_dev)
-    state = engine.init_state(par.batch_size * n_dev)
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    state = state._replace(n_launched=jnp.zeros((n_dev,), jnp.int32))
-    state = pmesh.device_put_sharded_state(state, m)
-    grid = pmesh.device_put_replicated(grid, m)
-    n_shard = jax.device_put(jnp.asarray(budgets, jnp.int32),
-                             NamedSharding(m, P('data')))
-    chunk = pmesh.sharded_chunk(engine.make_chunk(cfg, meta), m)
+        m = pmesh.make_mesh(0)
+        budgets = pmesh.shard_budget(par.nphotons, n_dev)
+        state = engine.init_state(par.batch_size * n_dev)
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state = state._replace(n_launched=jnp.zeros((n_dev,), jnp.int32))
+        state = pmesh.device_put_sharded_state(state, m)
+        grid = pmesh.device_put_replicated(grid, m)
+        n_shard = jax.device_put(jnp.asarray(budgets, jnp.int32),
+                                 NamedSharding(m, P('data')))
+        chunk = pmesh.sharded_chunk(engine.make_chunk(cfg, meta), m)
 
-    key0 = jax.random.PRNGKey(12345)
+        key0 = jax.random.PRNGKey(12345)
 
-    # warmup: compile + reach steady state (batch fully populated)
-    nscatt = 0.0
-    for i in range(3):
-        state, tallies, alive, launched = chunk(state, grid,
-                                                jax.random.fold_in(key0, i),
-                                                n_shard, None, None)
+        # warmup: compile + reach steady state (batch fully populated)
+        for i in range(3):
+            state, tallies, alive, launched = chunk(
+                state, grid, jax.random.fold_in(key0, i),
+                n_shard, None, None)
+            jax.block_until_ready(tallies)
+
+        # timed region
+        t0 = time.time()
+        nscatt = 0.0
+        n_chunks = 8
+        for i in range(3, 3 + n_chunks):
+            state, tallies, alive, launched = chunk(
+                state, grid, jax.random.fold_in(key0, i),
+                n_shard, None, None)
+            nscatt += to_host_scalar(tallies.nscatt_gas)
         jax.block_until_ready(tallies)
+        return nscatt / (time.time() - t0) / n_dev
 
-    # timed region
-    t0 = time.time()
-    nscatt = 0.0
-    n_chunks = 8
-    for i in range(3, 3 + n_chunks):
-        state, tallies, alive, launched = chunk(state, grid,
-                                                jax.random.fold_in(key0, i),
-                                                n_shard, None, None)
-        nscatt += to_host_scalar(tallies.nscatt_gas)
-    jax.block_until_ready(tallies)
-    dt = time.time() - t0
-
-    rate_per_chip = nscatt / dt / n_dev
+    rate_per_chip = measure(False)       # analytic-flight fast path
+    rate_generic = measure(True)         # generic DDA kernel (the path
+    # every velocity-field/dust/file-grid run takes)
     print(json.dumps({
         "metric": "gas scatterings/s/chip, Neufeld slab tau0=1e6 T=1e4",
         "value": rate_per_chip,
         "unit": "scatterings/s/chip",
         "vs_baseline": rate_per_chip / REFERENCE_RANK_RATE,
+        "generic_dda_value": rate_generic,
+        "generic_dda_vs_baseline": rate_generic / REFERENCE_RANK_RATE,
     }))
 
 
