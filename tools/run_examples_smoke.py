@@ -35,7 +35,8 @@ HERE = os.path.join(os.path.dirname(os.path.dirname(
 # (dir, namelist, nphotons, overrides, expected-invariant notes)
 CURATED = [
     ('sphere', 't4tau7.in', 1500, {}, '<N>~0.9tau w/ core-skip'),
-    ('slab_peel', None, 600, {}, 'slab + peel cube'),
+    ('slab_peel', None, 600, {'taumax': 600.0},
+     'slab + peel cube (tau scaled for the smoke)'),
     ('h2_test', 'h2_on.in', 1000, {}, 'H2 pumping budget'),
     ('h2_test', 'h2_off.in', 1000, {}, 'bit-identity control'),
     ('lya_HD', None, 1000, {}, 'H+D deuterium feature'),
@@ -116,6 +117,14 @@ def run_one(d, name, nph, overrides):
     return out
 
 
+def write_artifacts(rows):
+    import jax
+    payload = {'platform': jax.devices()[0].platform, 'rows': rows}
+    with open(os.path.join(HERE, 'RUNLOG.json'), 'w') as fh:
+        json.dump(payload, fh, indent=1)
+    return payload
+
+
 def main():
     only = sys.argv[1:]
     rows = []
@@ -125,11 +134,9 @@ def main():
         r = run_one(d, name, nph, overrides)
         r['note'] = note
         rows.append(r)
+        write_artifacts(rows)   # incremental: survive interruption
 
-    import jax
-    payload = {'platform': jax.devices()[0].platform, 'rows': rows}
-    with open(os.path.join(HERE, 'RUNLOG.json'), 'w') as fh:
-        json.dump(payload, fh, indent=1)
+    payload = write_artifacts(rows)
 
     lines = ['# Example run log (committed evidence)', '',
              f"Platform: {payload['platform']}.  Reduced photon budgets; "
