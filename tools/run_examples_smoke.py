@@ -69,6 +69,16 @@ def run_one(d, name, nph, overrides):
     from lart_tpu.config import Params
     from lart_tpu import driver
 
+    full = os.path.join(HERE, d)
+    # generator pre-step (mirrors the reference's mk_inputs/generate_*
+    # pattern): synthesize profiles/star lists/namelists before running
+    gens = sorted(f for f in os.listdir(full)
+                  if f.endswith('.py') and (f.startswith('mk_')
+                                            or f.startswith('generate_')))
+    for gscript in gens:
+        import subprocess
+        subprocess.run([sys.executable, gscript], cwd=full, check=False,
+                       timeout=120, stdout=subprocess.DEVNULL)
     path = find_namelist(d, name)
     if path is None or not os.path.exists(path):
         return {'example': d, 'namelist': name, 'status': 'missing'}
@@ -119,8 +129,21 @@ def run_one(d, name, nph, overrides):
 
 def write_artifacts(rows):
     import jax
-    payload = {'platform': jax.devices()[0].platform, 'rows': rows}
-    with open(os.path.join(HERE, 'RUNLOG.json'), 'w') as fh:
+    # merge with any previously-recorded rows (subset reruns must not
+    # drop the rest of the log)
+    path = os.path.join(HERE, 'RUNLOG.json')
+    merged = list(rows)
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh).get('rows', [])
+        except Exception:
+            prev = []
+        keys = {(r['example'], r.get('namelist')) for r in rows}
+        merged = [r for r in prev
+                  if (r['example'], r.get('namelist')) not in keys] + rows
+    payload = {'platform': jax.devices()[0].platform, 'rows': merged}
+    with open(path, 'w') as fh:
         json.dump(payload, fh, indent=1)
     return payload
 
@@ -137,6 +160,7 @@ def main():
         write_artifacts(rows)   # incremental: survive interruption
 
     payload = write_artifacts(rows)
+    rows = payload['rows']
 
     lines = ['# Example run log (committed evidence)', '',
              f"Platform: {payload['platform']}.  Reduced photon budgets; "
