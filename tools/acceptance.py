@@ -100,13 +100,14 @@ def shape_chi2(x, J_model, J_analytic, n_eff, atau0=None):
 
 
 def run_analytic_case(name, analytic, tau0, T, nphotons, *, geometry,
-                      core_skip=False, n_cells=201, seed=5):
+                      core_skip=False, core_skip_global=False,
+                      n_cells=201, seed=5):
     # chunk_cycles=64: through the tunneled TPU runtime every chunk costs
     # a fixed sync/transfer latency (~0.4 s) on top of ~0.1 s of compute,
     # so long chunks amortize it (4x wall-time win measured)
     kw = dict(nphotons=nphotons, temperature=T, taumax=tau0,
               spectral_type='voigt', source_geometry='point',
-              core_skip=core_skip,
+              core_skip=core_skip, core_skip_global=core_skip_global,
               force_generic_kernel=bool(os.environ.get('LART_FORCE_GENERIC')),
               batch_size=min(1 << 16,
                              1 << max(10, (nphotons - 1).bit_length())),
