@@ -525,6 +525,15 @@ def resolve(par: Params) -> ResolvedConfig:
     if geom == 'sphere' and par.rmax <= 0.0:
         par = dataclasses.replace(par, rmax=min(par.xmax, par.ymax, par.zmax))
 
+    # source radial extent defaults to the system extent
+    # (setup.f90:427-436: source_rmax <- rmax, falling back to the box
+    # half-size when rmax is unset -- exponential_* and sersic/ssh
+    # samplers divide by it)
+    if par.source_rmax < 0.0:
+        srm = par.rmax if par.rmax > 0.0 \
+            else min(par.xmax, par.ymax, par.zmax)
+        par = dataclasses.replace(par, source_rmax=srm)
+
     # symmetric box centered at origin unless symmetry folds it
     def axis(nmax, n, sym):
         if sym:

@@ -48,7 +48,10 @@ CURATED = [
     ('many_stars', None, 2000, {}, 'star_file source'),
     ('healpix_CIV', None, 2000, {'nside': 8}, 'inside HEALPix observer'),
     ('clump_sphere', None, 2000, {}, 'clumpy medium'),
-    ('amr_sphere', None, 2000, {}, 'octree AMR'),
+    ('amr_sphere', None, 2000,
+     {'_pre': [sys.executable, '-m', 'lart_tpu.tools.make_amr_sphere_radial',
+               'amr_sphere.h5', '--n-base', '32', '--levels', '1']},
+     'octree AMR'),
     ('rotating_solid_body', None, 2000, {}, 'rotating velocity model'),
     ('tigress_shear', None, 1000, {}, 'shearing box'),
 ]
@@ -75,10 +78,16 @@ def run_one(d, name, nph, overrides):
     gens = sorted(f for f in os.listdir(full)
                   if f.endswith('.py') and (f.startswith('mk_')
                                             or f.startswith('generate_')))
+    import subprocess
     for gscript in gens:
-        import subprocess
         subprocess.run([sys.executable, gscript], cwd=full, check=False,
                        timeout=120, stdout=subprocess.DEVNULL)
+    pre = overrides.pop('_pre', None)
+    if pre:
+        env = dict(os.environ, PYTHONPATH=os.path.dirname(HERE),
+                   LART_CPU='1')
+        subprocess.run(pre, cwd=full, check=False, timeout=300,
+                       env=env, stdout=subprocess.DEVNULL)
     path = find_namelist(d, name)
     if path is None or not os.path.exists(path):
         return {'example': d, 'namelist': name, 'status': 'missing'}
