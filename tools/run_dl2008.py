@@ -49,6 +49,8 @@ def run_case(infile, nphotons, *, grid_scale=1.0, seed=11):
         # random-walk ~tau0 times (the physical trapped tail); core-skip
         # accelerates them without changing the emergent peaks materially
         core_skip=bool(os.environ.get('LART_DL2008_CORE_SKIP')),
+        core_skip_global=(os.environ.get('LART_DL2008_CORE_SKIP')
+                          == 'global'),
         batch_size=min(1 << 16,
                        1 << max(12, (nphotons - 1).bit_length())),
         chunk_cycles=32, out_file='')

@@ -174,7 +174,13 @@ def main():
     lines = ['# Example run log (committed evidence)', '',
              f"Platform: {payload['platform']}.  Reduced photon budgets; "
              'regenerate with `LART_ACCEPT_CPU=1 python '
-             'tools/run_examples_smoke.py`.', '',
+             'tools/run_examples_smoke.py`.  The weight budget counts '
+             'recorded (in-frequency-range) escapes + absorptions: '
+             'photons escaping outside the xfreq grid are dropped from '
+             'Jout exactly as in the reference '
+             '(raytrace_car.f90:1613-1637), so strong velocity fields '
+             '(shear) legitimately close a few tenths of a percent '
+             'low.', '',
              '| example | namelist | nph | <N_scatt> | weight budget | '
              'wall [s] | note |',
              '|---|---|---|---|---|---|---|']
