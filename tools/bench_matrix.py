@@ -17,6 +17,11 @@ import os
 import sys
 import time
 
+
+def _flush(payload):
+    with open('results/bench_matrix_r2.json', 'w') as fh:
+        json.dump(payload, fh, indent=1)
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -64,6 +69,7 @@ def main():
                      fly_substeps=8, scatter_rounds=4, chunk_cycles=32,
                      refill_every=4)
     rows = []
+    payload = {'reference_rank_rate': REFERENCE_RANK_RATE, 'rows': rows}
 
     # 1a. north star: Neufeld slab tau0=1e6 (examples/slab/t1tau6.in) --
     # the analytic-flight fast path
@@ -71,10 +77,12 @@ def main():
                    nx=1, ny=1, nz=201, spectral_type='voigt',
                    source_geometry='point', **engine_kw)
     rows.append(bench_config('slab_tau1e6', Params(**slab_kw)))
+    _flush(payload)
     # 1b. the same medium through the GENERIC DDA kernel (the path every
     # velocity-field/dust/file-grid run takes); the optimization target
     rows.append(bench_config('slab_tau1e6_generic', Params(
         force_generic_kernel=True, **slab_kw)))
+    _flush(payload)
 
     # 2a/2b. uniform sphere tau0=1e4 with and without 129x129 Stokes
     # peel-off (examples/sphere_peel/t4tau4_peel.in); the difference is the
@@ -84,10 +92,12 @@ def main():
                      spectral_type='voigt', source_geometry='point',
                      core_skip=True, **engine_kw)
     rows.append(bench_config('sphere_tau1e4_nopeel', Params(**sphere_kw)))
+    _flush(payload)
     rows.append(bench_config('sphere_tau1e4_peel_stokes', Params(
         save_peeloff=True, use_stokes=True, nxim=129, nyim=129,
         alpha=(0.0,), beta=(0.0,), gamma=(0.0,), distance=100.0,
         **sphere_kw)))
+    _flush(payload)
     r_no, r_pe = rows[-2], rows[-1]
     peel_share = 1.0 - (r_pe['scatt_per_s_chip'] / r_no['scatt_per_s_chip'])
     print(json.dumps({'peel_kernel_share': peel_share}), flush=True)
@@ -99,6 +109,7 @@ def main():
         clump_radius=0.08, clump_f_vol=0.1, clump_tau0=10.0,
         temperature=1e4, xfreq_min=-40.0, xfreq_max=40.0,
         spectral_type='voigt', source_geometry='point', **engine_kw)))
+    _flush(payload)
 
     # 4. metal resonance+fluorescence: FeII UV1 multiplet with dust
     # (BASELINE config "SiII/FeII metal lines with Mueller-matrix dust")
@@ -107,6 +118,7 @@ def main():
         geometry='sphere', rmax=1.0, nx=65, ny=65, nz=65,
         velocity_type='hubble', vmax=300.0,
         spectral_type='voigt', source_geometry='point', **engine_kw)))
+    _flush(payload)
 
     # 5. octree-AMR sphere (examples/amr_sphere); measures the
     # neighbor-walk gather kernel (VERDICT round-1 item 10)
@@ -120,11 +132,10 @@ def main():
             use_amr_grid=True, amr_file=path, geometry='sphere',
             taumax=1e4, temperature=1e4, rmax=1.0, core_skip=True,
             spectral_type='voigt', source_geometry='point', **engine_kw)))
+    _flush(payload)
 
-    payload = {'reference_rank_rate': REFERENCE_RANK_RATE,
-               'peel_kernel_share': peel_share, 'rows': rows}
-    with open('results/bench_matrix_r2.json', 'w') as fh:
-        json.dump(payload, fh, indent=1)
+    payload['peel_kernel_share'] = peel_share
+    _flush(payload)
     print('wrote results/bench_matrix_r2.json', flush=True)
 
 
