@@ -151,6 +151,10 @@ def write_artifacts(rows):
         keys = {(r['example'], r.get('namelist')) for r in rows}
         merged = [r for r in prev
                   if (r['example'], r.get('namelist')) not in keys] + rows
+        # prune stale failure rows superseded by an ok run of the example
+        ok_ex = {r['example'] for r in merged if r['status'] == 'ok'}
+        merged = [r for r in merged
+                  if r['status'] == 'ok' or r['example'] not in ok_ex]
     payload = {'platform': jax.devices()[0].platform, 'rows': merged}
     with open(path, 'w') as fh:
         json.dump(payload, fh, indent=1)
