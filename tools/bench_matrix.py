@@ -116,7 +116,7 @@ def main():
     rows.append(bench_config('feii_uv1_dust', Params(
         line_id='FeII_2600', temperature=1e4, taumax=10.0, DGR=3e-4,
         geometry='sphere', rmax=1.0, nx=65, ny=65, nz=65,
-        velocity_type='hubble', vmax=300.0,
+        velocity_type='hubble', Vexp=300.0,
         spectral_type='voigt', source_geometry='point', **engine_kw)))
     _flush(payload)
 
