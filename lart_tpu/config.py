@@ -300,6 +300,10 @@ class Params:
     scatter_rounds: int = 4         # rejection rounds per cycle
     chunk_cycles: int = 64          # cycles per host-side chunk call
     refill_every: int = 4           # refill dead lanes every N cycles
+    # clump populations up to this size use the dense ray-vs-all-spheres
+    # flight kernel ((B, N) broadcast, no gathers); larger ones fall back
+    # to the CSR cell-stepping walker
+    clump_dense_max: int = 1024
     n_devices: int = 0              # 0 = all visible devices
     precision: str = 'f32'
     # disable the analytic-flight specializations (uniform slab/sphere)

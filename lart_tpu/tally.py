@@ -34,6 +34,10 @@ class RunResult:
     nscatt_tot: float
     exetime_s: float = 0.0
     nrejected: float = 0.0
+    # unweighted resonance-scatter events per photon (the counting the
+    # reference's 2022-2024 committed example logs used; the modern code
+    # counts weight -- see Tallies.nscatt_events in transport/engine.py)
+    nscatt_events: float = 0.0
     # peel cubes: dict name -> (nobs, nxfreq, nxim, nyim) arrays, normalized
     peel: Optional[dict] = None
     obs_meta: object = None
@@ -227,6 +231,7 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
         nscatt_gas=raw['nscatt_gas'] / nphotons,
         nscatt_dust=raw['nscatt_dust'] / nphotons,
         nscatt_tot=(raw['nscatt_gas'] + raw['nscatt_dust']) / nphotons,
+        nscatt_events=raw.get('nscatt_events', 0.0) / nphotons,
         exetime_s=exetime_s, peel=peel, obs_meta=obs_meta, Jmu=Jmu,
         Jabs2=Jabs2, flux_factor=flux_factor,
         nrejected=raw.get('nrejected', 0.0),

@@ -129,6 +129,14 @@ class Tallies(NamedTuple):
     Pnew: object = None         # (nbin,) tau-weighted rate (calcPnew)
     peel: object = None         # PeelCubes or None
     allph: object = None        # AllPhotons per-photon table or None
+    # unweighted count of resonance-scatter EVENTS.  The reference's
+    # committed 2022-2024 example logs report <N_scatt> ~ 1 + eps on
+    # optically-thin lines because those builds counted each forced first
+    # scattering as one event; the modern source counts weight
+    # (scattering_car.f90:164 "nscatt_gas + wgt" after the FFS
+    # down-weighting, run_simulation_mod.f90:90-95).  Both counters are
+    # kept so tools/reconcile_logs.py can compare against either era.
+    nscatt_events: object = None
 
 
 class AllPhotons(NamedTuple):
@@ -230,6 +238,7 @@ def zero_tallies(nxfreq: int, peel=None, nmu: int = 0,
                    flux_factor=jnp.float32(0.0) if illumination else None,
                    nrejected=jnp.float32(0.0) if illumination else None,
                    nscatt_gas=jnp.float32(0.0), nscatt_dust=jnp.float32(0.0),
+                   nscatt_events=jnp.float32(0.0),
                    W_H2abs=jnp.float32(0.0), W_H2scat=jnp.float32(0.0),
                    W_H2pump=jnp.zeros((2,), jnp.float32),
                    Jout_Ha=z if lyb else None,
@@ -2321,7 +2330,9 @@ def make_scatter(cfg: ResolvedConfig, meta: GridMeta,
                 # conversions -- appended to Pa tally writer as Pconv later
                 pass
         t2 = t._replace(nscatt_gas=t.nscatt_gas
-                        + jnp.sum(jnp.where(do_res, s.wgt, 0.0)))
+                        + jnp.sum(jnp.where(do_res, s.wgt, 0.0)),
+                        nscatt_events=t.nscatt_events
+                        + jnp.sum(do_res.astype(jnp.float32)))
         if meta.grid_type == 'clump':
             r_loc = clump_xloc_ratio(meta)
             u_out = cell_velocity_dot(grid, meta, s2.ic, s2.jc, s2.kc,
@@ -2864,6 +2875,250 @@ def make_chunk(cfg: ResolvedConfig, meta: GridMeta, obs_meta=None,
     return chunk
 
 
+def make_fly_clump_dense(cfg: ResolvedConfig, meta: GridMeta, cmeta):
+    """Dense flight kernel for small clump populations
+    (n_clumps <= par.clump_dense_max).
+
+    The CSR walker below steps the acceleration grid cell by cell; on TPU
+    every step pays ~6K gathers plus (overlap mode) a breakpoint sort, and
+    a flight costs tens of such lockstep steps.  For the population sizes
+    the examples actually use (hundreds of clumps), it is far cheaper to
+    intersect each ray against ALL N spheres at once: a (B, N) broadcast
+    with zero gathers that resolves the WHOLE flight -- escape distance,
+    total optical depth, and scatter point -- in a single pass.  The
+    integral is identical to the reference's sorted event walk
+    (raytrace_to_tau_clump_overlap, src/raytrace_clump.f90:621-788): the
+    optical depth to distance t is F(t) = sum_n k_n * |chord_n ^ [0, t]|,
+    exact for overlapping and disjoint populations alike, and the scatter
+    point solves F(t) = tau by fixed-iteration bisection (F is monotone).
+    The forced first scattering completes in one pass as well, since F at
+    the box boundary is the exact tau-to-escape (run_simulation_mod.f90:
+    85-100)."""
+    par = cfg.par
+    overlap = par.clump_allow_overlap
+    R = meta.xmax
+    EPS = jnp.float32(1e-6 * R + 1e-7)
+    save_Jmu = par.save_Jmu
+    save_allph = par.save_all_photons
+    mu_min = -1.0
+    dmu = (1.0 - mu_min) / par.nmu
+    r_loc = clump_xloc_ratio(meta)
+    vr = 1.0 / r_loc
+    a_cl = jnp.float32(meta.voigt_a_cl if meta.Dfreq_cl > 0
+                       else meta.voigt_a_ref)
+    D_cl = jnp.float32(meta.Dfreq_cl if meta.Dfreq_cl > 0
+                       else meta.Dfreq_ref)
+    # 12 bisection rounds + one secant step: each round re-reads the
+    # (B, N) chord arrays from HBM, so the solve is bandwidth-bound and
+    # fewer rounds are a direct win; F is piecewise linear, so the final
+    # in-bracket interpolation recovers ~exact t at bracket width
+    # t_box/4096 (error << clump radius).
+    N_BISECT = 12
+
+    def mu_bin(kz):
+        return jnp.clip(jnp.floor((kz - mu_min) / dmu).astype(jnp.int32),
+                        0, par.nmu - 1)
+
+    def chords(grid, s):
+        """(t_box, t0, t1, kq): exit distance of the bounding cube and the
+        (B, N) per-clump chord knots + opacities, clipped to [0, t_box]."""
+        def fd(pos, k):
+            face = jnp.where(k > 0.0, jnp.float32(R), jnp.float32(-R))
+            t = (face - pos) / jnp.where(jnp.abs(k) < 1e-12,
+                                         jnp.float32(1.0), k)
+            return jnp.where(jnp.abs(k) < 1e-12, BIG, jnp.maximum(t, 0.0))
+        t_box = jnp.minimum(jnp.minimum(fd(s.x, s.kx), fd(s.y, s.ky)),
+                            fd(s.z, s.kz))
+        px = s.x[:, None] - grid.x[None, :]
+        py = s.y[:, None] - grid.y[None, :]
+        pz = s.z[:, None] - grid.z[None, :]
+        b = px * s.kx[:, None] + py * s.ky[:, None] + pz * s.kz[:, None]
+        c = px * px + py * py + pz * pz - grid.r2[None, :]
+        det = b * b - c
+        sq = jnp.sqrt(jnp.maximum(det, 0.0))
+        tb = t_box[:, None]
+        t0 = jnp.clip(-b - sq, 0.0, tb)
+        t1 = jnp.clip(-b + sq, 0.0, tb)
+        # clump-frame opacity at the (flight-constant) global frequency
+        # (sum_kap_active, raytrace_clump.f90:621-637)
+        if meta.static_medium:
+            prof = line_profile(cfg, s.xfreq * r_loc, a_cl, D_cl)[:, None]
+        else:
+            u = (grid.vx[None, :] * s.kx[:, None]
+                 + grid.vy[None, :] * s.ky[:, None]
+                 + grid.vz[None, :] * s.kz[:, None]) * vr
+            prof = line_profile(cfg, (s.xfreq[:, None] - u) * r_loc,
+                                a_cl, D_cl)
+        kq = grid.rhokap[None, :] * prof
+        if meta.has_dust:
+            kq = kq + grid.rhokapD[None, :]
+        kq = jnp.where(det > 0.0, kq, 0.0)
+        return t_box, t0, t1, kq
+
+    def scatter_dist(tau_need, tau_tot, t_box, t0, t1, kq):
+        """Bisect the monotone piecewise-linear F(t) = tau_need, then
+        interpolate inside the final bracket."""
+        def F(t):
+            return jnp.sum(kq * jnp.clip(jnp.minimum(t[:, None], t1) - t0,
+                                         0.0, None), axis=1)
+
+        def body(_, st):
+            lo, hi, Flo, Fhi = st
+            mid = 0.5 * (lo + hi)
+            Fm = F(mid)
+            less = Fm < tau_need
+            return (jnp.where(less, mid, lo), jnp.where(less, hi, mid),
+                    jnp.where(less, Fm, Flo), jnp.where(less, Fhi, Fm))
+
+        lo, hi, Flo, Fhi = jax.lax.fori_loop(
+            0, N_BISECT, body,
+            (jnp.zeros_like(t_box), t_box, jnp.zeros_like(t_box), tau_tot))
+        frac = jnp.clip((tau_need - Flo) / jnp.maximum(Fhi - Flo, TINY),
+                        0.0, 1.0)
+        return lo + frac * (hi - lo)
+
+    def owner_at(d, t0, t1, kq):
+        """Clump whose chord contains the scatter point (unique when the
+        population is non-overlapping)."""
+        dd = d[:, None]
+        inside = jnp.logical_and(jnp.logical_and(t0 - EPS <= dd,
+                                                 dd <= t1 + EPS), kq > 0.0)
+        return jnp.where(jnp.any(inside, axis=1),
+                         jnp.argmax(inside, axis=1).astype(jnp.int32),
+                         jnp.int32(-1))
+
+    def fly(state: BatchState, grid, tallies: Tallies, max_steps: int):
+
+        def cond(carry):
+            st, rec, n = carry
+            flying = jnp.logical_or(st.phase == FLYING, st.phase == FFS)
+            return jnp.logical_and(n < max_steps, jnp.any(flying))
+
+        def body(carry):
+            s, recs, n = carry
+            rec, apr = recs
+            if save_allph:
+                ap_died_r, ap_xf2_r = apr
+            if save_Jmu:
+                (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
+                 esc_mu_r, ffs_mu_r) = rec
+            else:
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+            is_ffs = s.phase == FFS
+            moving = jnp.logical_or(s.phase == FLYING, is_ffs)
+
+            t_box, t0, t1, kq = chords(grid, s)
+            tau_tot = jnp.sum(kq * (t1 - t0), axis=1)
+            tgt = jnp.where(is_ffs, jnp.float32(FFS_TAU_CAP), s.tau_target)
+            tau_need = tgt - s.tau_run
+            hit = tau_tot >= tau_need
+            d_hit = scatter_dist(tau_need, tau_tot, t_box, t0, t1, kq)
+            d_adv = jnp.where(hit, d_hit, t_box + EPS)
+            xn = s.x + d_adv * s.kx
+            yn = s.y + d_adv * s.ky
+            zn = s.z + d_adv * s.kz
+            if overlap:
+                # owner sampled opacity-weighted in the scatter kernel
+                ic_sc = jnp.full_like(s.ic, -1)
+            else:
+                ic_sc = owner_at(d_hit, t0, t1, kq)
+
+            esc_fly = jnp.logical_and(jnp.logical_and(moving, ~is_ffs),
+                                      ~hit)
+            ffs_done = is_ffs          # the dense pass always completes FFS
+            # escape record (photon xfreq is global reference-unit)
+            ix = jnp.floor((s.xfreq - meta.xfreq_min)
+                           / meta.dxfreq).astype(jnp.int32)
+            in_rng = jnp.logical_and(ix >= 0, ix < meta.nxfreq)
+            rec_e = jnp.logical_and(esc_fly, in_rng)
+            esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
+                                 esc_ix_r)
+            esc_w_r = jnp.where(rec_e, s.wgt, esc_w_r)
+            if save_Jmu:
+                esc_mu_r = jnp.where(rec_e, mu_bin(s.kz), esc_mu_r)
+
+            # forced-first-scattering bookkeeping (one pass: tau0 is the
+            # exact tau to the boundary, capped as exp(-25) == 0 in f32)
+            tau0 = jnp.minimum(s.tau_run + tau_tot,
+                               jnp.float32(FFS_TAU_CAP))
+            ixb = jnp.floor((s.bxfreq - meta.xfreq_min)
+                            / meta.dxfreq).astype(jnp.int32)
+            inb = jnp.logical_and(ixb >= 0, ixb < meta.nxfreq)
+            wgt_esc = s.wgt * jnp.exp(-tau0)
+            rec_f = jnp.logical_and(ffs_done, inb)
+            ffs_ix_r = jnp.where(rec_f, jnp.clip(ixb, 0, meta.nxfreq - 1),
+                                 ffs_ix_r)
+            ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
+            if save_Jmu:
+                ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+
+            wgt1 = 1.0 - jnp.exp(-tau0)
+            ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
+            phase_new = jnp.where(
+                esc_fly, DEAD,
+                jnp.where(ffs_vacuum, DEAD,
+                          jnp.where(ffs_done, FLYING,
+                                    jnp.where(hit, AT_SCATTER, s.phase))))
+
+            def rb(cur, birth):
+                return jnp.where(ffs_done, birth, cur)
+
+            s2 = s._replace(
+                phase=jnp.where(moving, phase_new, s.phase),
+                x=rb(jnp.where(moving, xn, s.x), s.bx),
+                y=rb(jnp.where(moving, yn, s.y), s.by),
+                z=rb(jnp.where(moving, zn, s.z), s.bz),
+                ic=rb(jnp.where(jnp.logical_and(moving, hit), ic_sc, s.ic),
+                      s.bic),
+                kx=rb(s.kx, s.bkx), ky=rb(s.ky, s.bky), kz=rb(s.kz, s.bkz),
+                wgt=jnp.where(ffs_done, s.wgt * wgt1, s.wgt),
+                tau_run=jnp.where(ffs_done, 0.0,
+                                  jnp.where(moving, tgt, s.tau_run)),
+                tau_target=jnp.where(
+                    ffs_done,
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                               * wgt1),
+                    s.tau_target))
+            rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+            if save_allph:
+                newly_dead = jnp.logical_and(
+                    moving, jnp.logical_or(esc_fly, ffs_vacuum))
+                ap_died_r = jnp.logical_or(ap_died_r, newly_dead)
+                ap_xf2_r = jnp.where(
+                    newly_dead, jnp.where(ffs_vacuum, s.bxfreq, s.xfreq),
+                    ap_xf2_r)
+                apr = (ap_died_r, ap_xf2_r)
+            return s2, (rec2, apr), n + 1
+
+        B = state.x.shape[0]
+        rec0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+        if save_Jmu:
+            rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
+                           jnp.zeros((B,), jnp.int32))
+        ap_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32)) \
+            if save_allph else ()
+        state, recs, _ = jax.lax.while_loop(
+            cond, body, (state, (rec0, ap_0), jnp.int32(0)))
+        rec, ap_f = recs
+        if save_allph and tallies.allph is not None:
+            ap_died, ap_xf2 = ap_f
+            tallies = tallies._replace(allph=allph_record_death(
+                par, tallies.allph, state, ap_died, ap_xf2))
+        esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
+        tallies = tallies._replace(Jout=Jout)
+        if save_Jmu:
+            esc_mu, ffs_mu = rec[4], rec[5]
+            Jmu = tallies.Jmu.at[esc_ix * par.nmu + esc_mu].add(esc_w) \
+                .at[ffs_ix * par.nmu + ffs_mu].add(ffs_w)
+            tallies = tallies._replace(Jmu=Jmu)
+        return state, tallies
+
+    return fly
+
+
 def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
     """Clump-medium traversal (raytrace_to_tau_clump, reference
     src/raytrace_clump.f90:83-204 + find_next_clump, clump_mod.f90:1390-1470):
@@ -2884,6 +3139,8 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
     lockstep.  The owner clump at a scatter event is sampled
     opacity-weighted in the scatter kernel (sample_owner_clump,
     raytrace_clump.f90:644-665)."""
+    if cmeta.n_clumps <= cfg.par.clump_dense_max:
+        return make_fly_clump_dense(cfg, meta, cmeta)
     par = cfg.par
     overlap = par.clump_allow_overlap
     R = meta.xmax

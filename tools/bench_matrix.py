@@ -31,7 +31,12 @@ from lart_tpu.utils.transfer import to_host_scalar
 REFERENCE_RANK_RATE = 1.84e5   # gas scatterings/s per MPI rank (BASELINE.md)
 
 
-def bench_config(name, par, *, warm_chunks=3, timed_chunks=6, seed=12345):
+def bench_config(name, par, *, warm_chunks=3, timed_chunks=6, seed=12345,
+                 ref_photon_rate=None):
+    """ref_photon_rate: photons/s per MPI rank from a committed reference
+    log, for generation-bound workloads where scatterings/s is meaningless
+    (e.g. FeII tau=20: <N_scatt> ~ 1e-3 per launched photon, so the wall
+    time is set by generation + FFS + escape flights, not scattering)."""
     import jax
     from lart_tpu import driver
 
@@ -42,6 +47,7 @@ def bench_config(name, par, *, warm_chunks=3, timed_chunks=6, seed=12345):
         tl, alive, launched = p.run_chunk(jax.random.fold_in(key0, i))
         jax.block_until_ready(tl)
     compile_s = time.time() - t_setup
+    launched0 = float(to_host_scalar(launched))
 
     t0 = time.time()
     ns = 0.0
@@ -50,13 +56,21 @@ def bench_config(name, par, *, warm_chunks=3, timed_chunks=6, seed=12345):
         ns += float(to_host_scalar(tl.nscatt_gas))
     jax.block_until_ready(tl)
     dt = time.time() - t0
+    nph = float(to_host_scalar(launched)) - launched0
 
     rate = ns / dt / p.n_dev
     out = {'config': name, 'scatt_per_s_chip': rate,
            'vs_reference_rank': rate / REFERENCE_RANK_RATE,
            'nscatt_timed': ns, 'wall_s': dt, 'setup_compile_s': compile_s,
            'n_dev': p.n_dev, 'batch_size': par.batch_size,
+           'fly_substeps': par.fly_substeps,
+           'scatter_rounds': par.scatter_rounds,
+           'photons_per_s_chip': nph / dt / p.n_dev,
            'grid_type': p.meta.grid_type}
+    if ref_photon_rate is not None:
+        out['ref_photons_per_s_rank'] = ref_photon_rate
+        out['vs_reference_rank_photons'] = \
+            out['photons_per_s_chip'] / ref_photon_rate
     print(json.dumps(out), flush=True)
     return out
 
@@ -79,9 +93,13 @@ def main():
     rows.append(bench_config('slab_tau1e6', Params(**slab_kw)))
     _flush(payload)
     # 1b. the same medium through the GENERIC DDA kernel (the path every
-    # velocity-field/dust/file-grid run takes); the optimization target
+    # velocity-field/dust/file-grid run takes); the optimization target.
+    # Cycle shape f1/s4 from the committed sweep (results/bench_sweep.json):
+    # at tau0=1e6 the flight is sub-cell, so extra DDA substeps are pure
+    # masked waste while wing lanes keep the while_loop alive.
     rows.append(bench_config('slab_tau1e6_generic', Params(
-        force_generic_kernel=True, **slab_kw)))
+        force_generic_kernel=True,
+        **{**slab_kw, 'fly_substeps': 1, 'scatter_rounds': 4})))
     _flush(payload)
 
     # 2a/2b. uniform sphere tau0=1e4 with and without 129x129 Stokes
@@ -112,12 +130,19 @@ def main():
     _flush(payload)
 
     # 4. metal resonance+fluorescence: FeII UV1 multiplet with dust
-    # (BASELINE config "SiII/FeII metal lines with Mueller-matrix dust")
+    # (BASELINE config "SiII/FeII metal lines with Mueller-matrix dust").
+    # Generation-bound (<N_scatt> ~ 1e-3/photon): the honest metric is
+    # photons/s.  Reference anchor: examples/FeII_test/out.txt, 1e8 photons
+    # in 4.149 min on 4 nodes x 72 ranks (run.sh) => 1395 photons/s/rank.
+    # fly_substeps=32: the wall is FFS/escape flights crossing the whole
+    # 65^3 grid (~100 DDA steps), so long fly bursts amortize cycle cost.
     rows.append(bench_config('feii_uv1_dust', Params(
         line_id='FeII_2600', temperature=1e4, taumax=10.0, DGR=3e-4,
         geometry='sphere', rmax=1.0, nx=65, ny=65, nz=65,
         velocity_type='hubble', Vexp=300.0,
-        spectral_type='voigt', source_geometry='point', **engine_kw)))
+        spectral_type='voigt', source_geometry='point',
+        **{**engine_kw, 'fly_substeps': 32, 'scatter_rounds': 2}),
+        ref_photon_rate=1.0e8 / (4.149 * 60.0) / 288.0))
     _flush(payload)
 
     # 5. octree-AMR sphere (examples/amr_sphere); measures the
