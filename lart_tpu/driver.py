@@ -196,7 +196,6 @@ def run(par: Params, *, seed: Optional[int] = None,
     t0 = time.time()
     nphotons = int(np.sum(budgets))
     cur_B = B
-    min_B = 4096
 
     # --- mid-run checkpoint resume: restore batch state + f64
     # accumulators + chunk index; the fold_in(key0, ci) stream continues
@@ -221,6 +220,48 @@ def run(par: Params, *, seed: Optional[int] = None,
     # chunks to keep (lanes x cycles) per chunk roughly constant.  One
     # compile serves every length (dynamic fori_loop bound).
     boost = 1
+
+    def tail_control(alive, launched):
+        """Boost + batch-shrink decisions, a pure function of the current
+        batch state so checkpoint-resume replays them identically (the
+        checkpoint is written BEFORE this runs each iteration).
+
+        Boost: after the budget is exhausted no new photons launch, so
+        longer chunks cannot overshoot -- scale cycles by the drain
+        factor (cap 256x => worst case one extra chunk of
+        over-integration for already-dead lanes, which is free; the cap
+        only bounds the host-sync interval).
+
+        Shrink: once the budget is exhausted the batch only drains;
+        compact the survivors (cross-device, alive-first) into a smaller
+        batch so the tail does not run at full-batch cost (the
+        longest-lived photon takes ~ln(B) * <N_scatt> cycles).  Two-stage
+        ladder 4096 -> 512: each stage costs one extra compile but
+        removes an 8x compute waste in the deep tail (round-4
+        postmortem: DL2008's last 2% held a full batch >20 min).
+        Multi-process runs skip shrinking (the shard pull-back would
+        need a cross-process gather)."""
+        nonlocal state, cur_B, boost
+        if launched >= nphotons and alive > 0:
+            boost = int(np.clip((cur_B * n_dev) // max(alive, 1), 1, 256))
+        else:
+            boost = 1
+        if launched >= nphotons and jax.process_count() == 1:
+            for Bt in (4096, 512):
+                if cur_B > Bt and alive <= Bt * n_dev:
+                    shrunk = _compact_shrink(state, n_dev, Bt, m)
+                    if shrunk is not None:
+                        state = shrunk
+                        cur_B = Bt
+
+    if ci0 > 0:
+        # resumed mid-run: re-derive the control decisions the
+        # uninterrupted run made at the end of the checkpointed iteration
+        host_phase = np.asarray(tree_to_host(state.phase))
+        host_launched = int(np.sum(np.asarray(tree_to_host(
+            state.n_launched))))
+        tail_control(int((host_phase != engine.DEAD).sum()), host_launched)
+
     for ci in range(ci0, max_chunks):
         t_chunk = time.time()
         key = jax.random.fold_in(key0, ci)
@@ -303,27 +344,7 @@ def run(par: Params, *, seed: Optional[int] = None,
             _save_checkpoint(par.checkpoint_file, state, acc, ci + 1)
         if launched >= nphotons and alive == 0:
             break
-        # tail boost: after the budget is exhausted no new photons
-        # launch, so longer chunks cannot overshoot -- scale cycles by
-        # the drain factor (cap 64x => worst case one extra chunk of
-        # over-integration for already-dead lanes, which is free)
-        if launched >= nphotons and alive > 0:
-            boost = int(np.clip((B * n_dev) // max(alive, 1), 1, 64))
-        else:
-            boost = 1
-        # --- tail-phase batch shrinking: once the photon budget is
-        # exhausted, the batch only drains; compact the surviving lanes
-        # into a 4x smaller batch so the tail does not run at full-batch
-        # cost (the longest-lived photon takes ~ln(B) * <N_scatt> cycles).
-        # (multi-process runs skip shrinking: the shard pull-back to host
-        # would need a cross-process gather; the tail is a fixed small cost)
-        if (launched >= nphotons and cur_B > min_B
-                and alive <= min_B * n_dev and jax.process_count() == 1):
-            # shrink in ONE jump: each distinct batch size costs a compile
-            shrunk = _compact_shrink(state, n_dev, min_B, m)
-            if shrunk is not None:
-                state = shrunk
-                cur_B = min_B
+        tail_control(alive, launched)
     if prof_active:
         jax.profiler.stop_trace()
     if metrics_fh is not None:
@@ -370,21 +391,29 @@ def _dump_input_grid(cfg, meta, grid):
 
 
 def _compact_shrink(state, n_dev, B_new, mesh):
-    """Compact alive lanes to the front of each device shard and truncate
-    to B_new lanes/device.  Returns None if any shard still has more than
-    B_new alive lanes (caller keeps the current size)."""
+    """Compact alive lanes ACROSS ALL device shards and truncate to B_new
+    lanes/device: the surviving photons are pulled to host, ordered
+    alive-first, and dealt round-robin over the devices, so the tail is
+    balanced even when the stragglers cluster on one shard (the reference
+    has no analogue -- its master/worker scheduler load-balances whole
+    photons instead, run_simulation_mod.f90:30-64).  Returns None if more
+    than B_new * n_dev lanes are still alive (caller keeps the size).
+    Safe only after the photon budget is exhausted: per-device n_launched
+    bookkeeping stays put, which blocks further launches regardless of
+    where the lanes now live."""
     host = tree_to_host(state)
-    phase = host.phase.reshape(n_dev, -1)
+    phase = np.asarray(host.phase)
     dead = (phase == engine.DEAD)
-    if np.any((~dead).sum(axis=1) > B_new):
+    if (~dead).sum() > B_new * n_dev:
         return None
-    order = np.argsort(dead, axis=1, kind='stable')[:, :B_new]
+    # global alive-first order, dealt round-robin across shards
+    order = np.argsort(dead, kind='stable')[:B_new * n_dev]
+    order = order.reshape(B_new, n_dev).T.reshape(-1)
 
     def pick(leaf):
         leaf = np.asarray(leaf)
         if leaf.ndim == 1 and leaf.shape[0] == phase.size:
-            return np.take_along_axis(
-                leaf.reshape(n_dev, -1), order, axis=1).reshape(-1)
+            return leaf[order]
         return leaf   # (n_dev,) bookkeeping arrays
 
     new_state = jax.tree_util.tree_map(pick, host)

@@ -378,10 +378,18 @@ def amr_descend_from_face(grid, meta: GridMeta, nb, face, x, y, z):
     return jax.lax.fori_loop(0, meta.levelmax + 1, body, nb)
 
 
-def clump_find(grid, meta: GridMeta, x, y, z):
+def clump_find(grid, meta: GridMeta, x, y, z, dense_max=0):
     """Clump containing (x,y,z), -1 if vacuum (active_set_at_point)."""
-    R = meta.xmax
     ncell, K = grid.table.shape
+    if grid.x.shape[0] <= dense_max:
+        d2 = ((x[:, None] - grid.x[None, :]) ** 2
+              + (y[:, None] - grid.y[None, :]) ** 2
+              + (z[:, None] - grid.z[None, :]) ** 2)
+        hit = d2 < grid.r2[None, :]
+        return jnp.where(jnp.any(hit, axis=1),
+                         jnp.argmax(hit, axis=1).astype(jnp.int32),
+                         jnp.int32(-1))
+    R = meta.xmax
     import math as _m
     cg_n = round(ncell ** (1.0 / 3.0))
     cg_dx = 2.0 * R / cg_n
@@ -402,10 +410,55 @@ def clump_find(grid, meta: GridMeta, x, y, z):
     return out
 
 
+def _clump_loc_aD(meta: GridMeta):
+    a = jnp.float32(meta.voigt_a_cl if meta.Dfreq_cl > 0
+                    else meta.voigt_a_ref)
+    D = jnp.float32(meta.Dfreq_cl if meta.Dfreq_cl > 0 else meta.Dfreq_ref)
+    return a, D
+
+
+def _clump_dense_kq_at(cfg, meta, grid, s):
+    """(contains, kq): (B, N) point-in-sphere mask and local opacity of
+    every clump at every lane's position -- the dense (gather-free)
+    counterpart of the CSR candidate walk, profitable for the population
+    sizes the examples use (each CSR gather costs more on TPU than
+    broadcasting against all N clumps)."""
+    px = s.x[:, None] - grid.x[None, :]
+    py = s.y[:, None] - grid.y[None, :]
+    pz = s.z[:, None] - grid.z[None, :]
+    d2 = px * px + py * py + pz * pz
+    contains = d2 < grid.r2[None, :]
+    r_loc = clump_xloc_ratio(meta)
+    a_cl, D_cl = _clump_loc_aD(meta)
+    if meta.static_medium:
+        prof = line_profile(cfg, s.xfreq * r_loc, a_cl, D_cl)[:, None]
+    else:
+        u = (grid.vx[None, :] * s.kx[:, None]
+             + grid.vy[None, :] * s.ky[:, None]
+             + grid.vz[None, :] * s.kz[:, None]) / r_loc
+        prof = line_profile(cfg, (s.xfreq[:, None] - u) * r_loc,
+                            a_cl, D_cl)
+    kq = grid.rhokap[None, :] * prof
+    if meta.has_dust:
+        kq = kq + grid.rhokapD[None, :]
+    return contains, jnp.where(contains, kq, 0.0)
+
+
 def clump_sample_owner(cfg, meta: GridMeta, cmeta, grid, s, key):
     """Opacity-weighted owner-clump draw from the clumps containing the
     scatter point (sample_owner_clump, raytrace_clump.f90:644-665), used by
     the overlap transport where the flight tracks no single clump."""
+    if cmeta.n_clumps <= cfg.par.clump_dense_max:
+        contains, kq = _clump_dense_kq_at(cfg, meta, grid, s)
+        cum = jnp.cumsum(kq, axis=1)
+        tot = cum[:, -1]
+        xi = jax.random.uniform(key, s.x.shape) * tot
+        pick = jnp.argmax(cum >= xi[:, None], axis=1).astype(jnp.int32)
+        # vacuum scatter cannot happen (tau target is only reached inside
+        # gas); guard with the most-deeply-containing clump
+        fallback = jnp.argmax(contains, axis=1).astype(jnp.int32)
+        return jnp.where(tot > 0, pick,
+                         jnp.where(jnp.any(contains, axis=1), fallback, -1))
     R = meta.xmax
     cg_n, cg_dx, K = cmeta.cg_n, cmeta.cg_dx, cmeta.K
     ci = jnp.clip(jnp.floor((s.x + R) / cg_dx).astype(jnp.int32),
@@ -2551,7 +2604,8 @@ def make_refill(cfg: ResolvedConfig, meta: GridMeta, peel_direct=None):
         # cell indices with edge fixes (generate_photon.f90:381-390);
         # AMR: octree descent to the enclosing cell
         if meta.grid_type == 'clump':
-            ic = clump_find(grid, meta, x, y, z)
+            ic = clump_find(grid, meta, x, y, z,
+                            dense_max=cfg.par.clump_dense_max)
             jc = jnp.zeros_like(ic)
             kc = jnp.zeros_like(ic)
         elif meta.grid_type == 'amr':

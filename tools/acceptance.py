@@ -90,7 +90,14 @@ def shape_chi2(x, J_model, J_analytic, n_eff, atau0=None):
     pm = J_model / norm if norm > 0 else J_model
     dx = x[1] - x[0]
     sel = pa > pa.max() * 3e-3
-    frac = np.maximum(pm * dx, 1e-12)           # probability per bin
+    # MC sigma under the ANALYTIC hypothesis (expected counts pa*dx*n),
+    # the standard Pearson chi2 denominator.  Using the observed counts
+    # here (as before round 5) sends sigma -> 0 wherever the model has
+    # zero counts but the analytic density is tiny-but-selected, which
+    # inflated the tau1e6 case's chi2_raw to ~2e7 from a handful of
+    # near-empty core bins; against expected counts the same spectrum
+    # scores its honest distance.
+    frac = np.maximum(pa * dx, 1e-12)           # expected prob. per bin
     sig_mc = np.sqrt(frac / n_eff) / dx         # sigma of pm (density units)
     chi2_raw = float(np.sum(((pm[sel] - pa[sel]) / sig_mc[sel]) ** 2))
     sig_sys = SYS_COEF * atau0 ** (-1.0 / 3.0) * pa.max() if atau0 else 0.0
@@ -112,7 +119,15 @@ def run_analytic_case(name, analytic, tau0, T, nphotons, *, geometry,
               batch_size=min(1 << 16,
                              1 << max(10, (nphotons - 1).bit_length())),
               fly_substeps=8,
-              scatter_rounds=4, chunk_cycles=64, refill_every=4)
+              scatter_rounds=4, chunk_cycles=64, refill_every=4,
+              # mid-case device-state checkpoint: a tunnel wedge costs at
+              # most ~4 chunks of compute instead of the whole case
+              # (round-4 postmortem: one case lost 35 min to a 3x180 s
+              # transfer stall); the stream resumes exactly (fold_in(ci))
+              checkpoint_file=os.path.abspath(
+                  f'results/.ckpt_{name}.h5'),
+              checkpoint_every=4,
+              resume_checkpoint=bool(os.environ.get('LART_ACCEPT_RESUME')))
     if geometry == 'slab':
         kw.update(xy_periodic=True, nx=1, ny=1, nz=n_cells)
     else:
@@ -129,6 +144,8 @@ def run_analytic_case(name, analytic, tau0, T, nphotons, *, geometry,
             last[0] = time.time()
     res = driver.run(par, seed=seed, progress=progress)
     wall = time.time() - t0
+    if os.path.exists(kw['checkpoint_file']):
+        os.remove(kw['checkpoint_file'])   # done: don't resume a finished run
 
     a = res.cfg.voigt_a_ref
     atau0 = a * tau0
@@ -349,6 +366,12 @@ def main():
           n(20_000), geometry='slab', core_skip=True,
           core_skip_global=True)
     guard(run_analytic_case, 'dijkstra_tau1e5_T1e4', dijkstra_J, 1e5, 1e4,
+          n(20_000), geometry='sphere', core_skip=True, n_cells=129)
+    # T=100 K sphere: a*tau0 = 472, genuinely inside the wing-diffusion
+    # regime (the T=1e4 case above sits at a*tau0 = 47 and leans on the
+    # documented systematic; this one must pass on a tolerance ~2x its
+    # much smaller floor) -- VERDICT r4 item 6 / TODO_r5 item 4
+    guard(run_analytic_case, 'dijkstra_tau1e5_T100', dijkstra_J, 1e5, 100.0,
           n(20_000), geometry='sphere', core_skip=True, n_cells=129)
     guard(run_parity_sphere, nphotons=n(30_000))
 
