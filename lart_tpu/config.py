@@ -304,6 +304,10 @@ class Params:
     # flight kernel ((B, N) broadcast, no gathers); larger ones fall back
     # to the CSR cell-stepping walker
     clump_dense_max: int = 1024
+    # AMR trees whose finest virtual grid (2^levelmax)^3 stays under this
+    # many voxels get a flattened point->cell lookup table (one gather per
+    # traversal hop instead of neighbor + octant descent); 0 disables
+    amr_fine_lookup_max: int = 34_000_000
     n_devices: int = 0              # 0 = all visible devices
     precision: str = 'f32'
     # disable the analytic-flight specializations (uniform slab/sphere)

@@ -156,6 +156,7 @@ def run(par: Params, *, seed: Optional[int] = None,
         'nscatt_gas': 0.0,
         'nscatt_dust': 0.0,
         'nscatt_events': 0.0,
+        'W_oor': 0.0,
     }
     if par.save_Jmu:
         acc['Jmu'] = np.zeros(meta.nxfreq * par.nmu, np.float64)
@@ -278,6 +279,7 @@ def run(par: Params, *, seed: Optional[int] = None,
         acc['nscatt_gas'] += float(tl.nscatt_gas)
         acc['nscatt_dust'] += float(tl.nscatt_dust)
         acc['nscatt_events'] += float(tl.nscatt_events)
+        acc['W_oor'] += float(tl.W_oor)
         acc['W_H2abs'] = acc.get('W_H2abs', 0.0) + float(tl.W_H2abs)
         acc['W_H2scat'] = acc.get('W_H2scat', 0.0) + float(tl.W_H2scat)
         acc['W_H2pump'] = acc.get('W_H2pump', np.zeros(2)) \

@@ -405,7 +405,8 @@ def build_amr(cfg: ResolvedConfig, data: Optional[dict] = None
                     None if uniform_T else voigt_a,
                     None if static else vx / vtherm,
                     None if static else vy / vtherm,
-                    None if static else vz / vtherm)
+                    None if static else vz / vtherm,
+                    fine_limit=par.amr_fine_lookup_max)
     return AmrBuildResult(meta=meta, tree=tree, dev=dev,
                           emissivity=emissivity)
 

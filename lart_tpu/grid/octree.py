@@ -200,6 +200,45 @@ def _build_octree_numpy(xl, yl, zl, lev, box) -> HostOctree:
                       neighbor=neighbor)
 
 
+def build_fine_map(tree: HostOctree, limit: int = 34_000_000):
+    """Flattened finest-level lookup table: fine_map[i, j, k] = the
+    childless cell (leaf or gap) covering fine voxel (i, j, k) of the
+    virtual uniform grid at the octree's deepest refinement level.
+
+    With it, "which cell does this point enter" -- the per-step hot
+    question of the AMR raytracer -- is ONE gather instead of a
+    neighbor-table hop plus a levelmax-deep octant descent (4 gathers per
+    level).  Memory is (2^levelmax)^3 * 4 bytes, so the table is built
+    only when that stays under `limit` voxels (128^3 AMR = 8 MB;
+    RAMSES-depth trees fall back to the descent walk).  The reference has
+    no counterpart -- its per-CPU pointer chase is cheap in scalar code
+    (octree_mod.f90:772-822) but serializes on a vector machine."""
+    nf = 1 << tree.levelmax
+    if nf ** 3 > limit:
+        return None
+    xmin, _, ymin, _, zmin, _ = tree.box
+    dxf = 2.0 * tree.ch[0] / nf
+    childless = np.where((tree.children < 0).all(axis=1))[0]
+    fm = np.full((nf, nf, nf), -1, np.int32)
+    lev = tree.level[childless]
+    for L in np.unique(lev)[::-1]:
+        ids = childless[lev == L]
+        w = 1 << (tree.levelmax - int(L))
+        i0 = np.rint((tree.cx[ids] - tree.ch[ids] - xmin) / dxf) \
+            .astype(np.int64)
+        j0 = np.rint((tree.cy[ids] - tree.ch[ids] - ymin) / dxf) \
+            .astype(np.int64)
+        k0 = np.rint((tree.cz[ids] - tree.ch[ids] - zmin) / dxf) \
+            .astype(np.int64)
+        if w == 1:
+            fm[i0, j0, k0] = ids
+        else:
+            for m, idx in enumerate(ids):
+                fm[i0[m]:i0[m] + w, j0[m]:j0[m] + w,
+                   k0[m]:k0[m] + w] = idx
+    return fm
+
+
 class AmrDevice(NamedTuple):
     """Device-resident AMR arrays: tree topology + per-leaf physics."""
     # topology (ncells)
@@ -224,13 +263,17 @@ class AmrDevice(NamedTuple):
     vfx: Optional[jnp.ndarray]
     vfy: Optional[jnp.ndarray]
     vfz: Optional[jnp.ndarray]
+    # (2^levelmax,)^3 childless-cell lookup (build_fine_map) or None
+    fine_map: Optional[jnp.ndarray] = None
 
 
 def to_device(tree: HostOctree, rhokap, rhokapD=None, Dfreq=None,
-              voigt_a=None, vfx=None, vfy=None, vfz=None) -> AmrDevice:
+              voigt_a=None, vfx=None, vfy=None, vfz=None,
+              fine_limit: int = 34_000_000) -> AmrDevice:
     f32 = lambda a: jnp.asarray(a, jnp.float32) if a is not None else None
     i32 = lambda a: jnp.asarray(a, jnp.int32)
     lc = tree.icell_of_leaf
+    fm = build_fine_map(tree, fine_limit) if fine_limit > 0 else None
     return AmrDevice(
         children=i32(tree.children),
         node_cx=f32(tree.cx), node_cy=f32(tree.cy), node_cz=f32(tree.cz),
@@ -240,4 +283,5 @@ def to_device(tree: HostOctree, rhokap, rhokapD=None, Dfreq=None,
         leaf_cz=f32(tree.cz[lc]), leaf_ch=f32(tree.ch[lc]),
         leaf_cell=i32(lc),
         rhokap=f32(rhokap), rhokapD=f32(rhokapD), Dfreq=f32(Dfreq),
-        voigt_a=f32(voigt_a), vfx=f32(vfx), vfy=f32(vfy), vfz=f32(vfz))
+        voigt_a=f32(voigt_a), vfx=f32(vfx), vfy=f32(vfy), vfz=f32(vfz),
+        fine_map=i32(fm) if fm is not None else None)

@@ -119,7 +119,7 @@ def _write_basic(filename: str, res: RunResult, nproc: int = 1) -> str:
     scal = {k: getattr(res, k) for k in
             ('W_conv', 'W_esc1', 'W_abs1', 'W_esc2', 'W_abs2',
              'W_H2abs', 'W_H2scat', 'flux_factor', 'nrejected',
-             'W_escape', 'W_absorb')}
+             'W_escape', 'W_absorb', 'W_oor')}
     scal['W_H2pump'] = res.W_H2pump
     allph = res.allph
     if merged is not None:

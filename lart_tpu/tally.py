@@ -38,6 +38,11 @@ class RunResult:
     # reference's 2022-2024 committed example logs used; the modern code
     # counts weight -- see Tallies.nscatt_events in transport/engine.py)
     nscatt_events: float = 0.0
+    # escape weight per photon whose lab-frame frequency fell outside the
+    # xfreq grid (dropped from Jout, exactly as in the reference
+    # raytrace_car.f90:1613-1637): W_escape + W_absorb + W_oor closes the
+    # conservation budget under strong velocity fields
+    W_oor: float = 0.0
     # peel cubes: dict name -> (nobs, nxfreq, nxim, nyim) arrays, normalized
     peel: Optional[dict] = None
     obs_meta: object = None
@@ -232,6 +237,7 @@ def normalize(cfg: ResolvedConfig, meta: GridMeta, raw: dict,
         nscatt_dust=raw['nscatt_dust'] / nphotons,
         nscatt_tot=(raw['nscatt_gas'] + raw['nscatt_dust']) / nphotons,
         nscatt_events=raw.get('nscatt_events', 0.0) / nphotons,
+        W_oor=raw.get('W_oor', 0.0) / nphotons,
         exetime_s=exetime_s, peel=peel, obs_meta=obs_meta, Jmu=Jmu,
         Jabs2=Jabs2, flux_factor=flux_factor,
         nrejected=raw.get('nrejected', 0.0),

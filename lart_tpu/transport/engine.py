@@ -137,6 +137,13 @@ class Tallies(NamedTuple):
     # down-weighting, run_simulation_mod.f90:90-95).  Both counters are
     # kept so tools/reconcile_logs.py can compare against either era.
     nscatt_events: object = None
+    # escape weight whose lab-frame frequency falls outside the xfreq
+    # grid.  The reference silently drops these from Jout
+    # (raytrace_car.f90:1613-1637 bins only in-range); tallying the
+    # dropped weight turns the RUNLOG weight-budget shortfall on strong
+    # velocity fields (tigress shear: 2.2%) into a closed conservation
+    # proof: W_escape + W_absorb + W_oor == 1.
+    W_oor: object = None
 
 
 class AllPhotons(NamedTuple):
@@ -238,7 +245,7 @@ def zero_tallies(nxfreq: int, peel=None, nmu: int = 0,
                    flux_factor=jnp.float32(0.0) if illumination else None,
                    nrejected=jnp.float32(0.0) if illumination else None,
                    nscatt_gas=jnp.float32(0.0), nscatt_dust=jnp.float32(0.0),
-                   nscatt_events=jnp.float32(0.0),
+                   nscatt_events=jnp.float32(0.0), W_oor=jnp.float32(0.0),
                    W_H2abs=jnp.float32(0.0), W_H2scat=jnp.float32(0.0),
                    W_H2pump=jnp.zeros((2,), jnp.float32),
                    Jout_Ha=z if lyb else None,
@@ -352,7 +359,40 @@ def cell_velocity_dot(grid, meta: GridMeta, i, j, k, kx, ky, kz):
 def amr_descend_from_face(grid, meta: GridMeta, nb, face, x, y, z):
     """Descend from neighbor cell nb to the entered leaf/gap cell
     (amr_next_leaf_or_gap, octree_mod.f90:772-822): the face-normal octant
-    bit is fixed topologically; transverse bits from position."""
+    bit is fixed topologically; transverse bits from position.
+
+    When the grid carries the finest-level lookup (build_fine_map) the
+    whole hop is ONE gather: nudge half a fine voxel past the crossed
+    face (the entered cell is at least one fine voxel wide, so the nudged
+    point is strictly inside it) and read the table."""
+    if getattr(grid, 'fine_map', None) is not None:
+        nf = grid.fine_map.shape[0]
+        dxf = jnp.float32((meta.xmax - meta.xmin) / nf)
+        axis = face // 2
+        sgn = jnp.where(face % 2 == 0, jnp.float32(1.0), jnp.float32(-1.0))
+        xq = x + jnp.where(axis == 0, 0.5 * dxf * sgn, 0.0)
+        yq = y + jnp.where(axis == 1, 0.5 * dxf * sgn, 0.0)
+        zq = z + jnp.where(axis == 2, 0.5 * dxf * sgn, 0.0)
+        # clamp into the neighbor node's interior: f32 roundoff at a face
+        # plane must not floor the query back into the cell being exited
+        # (that would loop forever); inside nb's box the lookup can only
+        # return nb or one of its descendants
+        ncx = jnp.take(grid.node_cx, nb, mode='clip')
+        ncy = jnp.take(grid.node_cy, nb, mode='clip')
+        ncz = jnp.take(grid.node_cz, nb, mode='clip')
+        nch = jnp.take(grid.node_ch, nb, mode='clip')
+        pad = 0.25 * dxf
+        xq = jnp.clip(xq, ncx - nch + pad, ncx + nch - pad)
+        yq = jnp.clip(yq, ncy - nch + pad, ncy + nch - pad)
+        zq = jnp.clip(zq, ncz - nch + pad, ncz + nch - pad)
+        ii = jnp.clip(jnp.floor((xq - meta.xmin) / dxf).astype(jnp.int32),
+                      0, nf - 1)
+        jj = jnp.clip(jnp.floor((yq - meta.ymin) / dxf).astype(jnp.int32),
+                      0, nf - 1)
+        kk = jnp.clip(jnp.floor((zq - meta.zmin) / dxf).astype(jnp.int32),
+                      0, nf - 1)
+        return jnp.take(grid.fine_map.reshape(-1),
+                        (ii * nf + jj) * nf + kk, mode='clip')
     axis = face // 2                     # 0=x, 1=y, 2=z
     pos_bit = face % 2                   # 0: exited +face -> enter - side...
     # face 0 (+x exit) -> enter dest -x side -> x bit 0; face 1 -> x bit 1
@@ -507,7 +547,19 @@ def clump_sample_owner(cfg, meta: GridMeta, cmeta, grid, s, key):
 
 def amr_find_cell(grid, meta: GridMeta, x, y, z):
     """Descend from the root to the deepest enclosing cell
-    (amr_find_enclosing_cell, octree_mod.f90:196-230)."""
+    (amr_find_enclosing_cell, octree_mod.f90:196-230); one table gather
+    when the finest-level lookup is available."""
+    if getattr(grid, 'fine_map', None) is not None:
+        nf = grid.fine_map.shape[0]
+        dxf = jnp.float32((meta.xmax - meta.xmin) / nf)
+        ii = jnp.clip(jnp.floor((x - meta.xmin) / dxf).astype(jnp.int32),
+                      0, nf - 1)
+        jj = jnp.clip(jnp.floor((y - meta.ymin) / dxf).astype(jnp.int32),
+                      0, nf - 1)
+        kk = jnp.clip(jnp.floor((z - meta.zmin) / dxf).astype(jnp.int32),
+                      0, nf - 1)
+        return jnp.take(grid.fine_map.reshape(-1),
+                        (ii * nf + jj) * nf + kk, mode='clip')
     root = jnp.zeros_like(jnp.asarray(x, jnp.float32)).astype(jnp.int32)
 
     def body(_, cur):
@@ -657,11 +709,12 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
 
         def body(carry):
             s, rec, n = carry
+            oor_r = rec[-1]
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
-                 esc_mu_r, ffs_mu_r) = rec
+                 esc_mu_r, ffs_mu_r) = rec[:-1]
             else:
-                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec[:-1]
             is_ffs = s.phase == FFS
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
 
@@ -722,6 +775,9 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
             ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
             if save_Jmu:
                 ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+            oor_r = oor_r \
+                + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
+                + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
             wgt1 = 1.0 - jnp.exp(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
@@ -753,7 +809,7 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
                     s.tau_target),
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
-                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ()) + (oor_r,)
             return s2, rec2, n + 1
 
         B = state.x.shape[0]
@@ -762,9 +818,11 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
         if save_Jmu:
             rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
                            jnp.zeros((B,), jnp.int32))
+        rec0 = rec0 + (jnp.zeros((B,), jnp.float32),)   # out-of-range wgt
         state, rec, _ = jax.lax.while_loop(
             cond, body, (state, rec0, jnp.int32(0)))
         esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        tallies = tallies._replace(W_oor=tallies.W_oor + jnp.sum(rec[-1]))
         Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
         tallies = tallies._replace(Jout=Jout)
         if save_Jmu:
@@ -843,11 +901,12 @@ def make_fly_uniform_sphere(cfg: ResolvedConfig, meta: GridMeta):
 
         def body(carry):
             s, rec, n = carry
+            oor_r = rec[-1]
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
-                 esc_mu_r, ffs_mu_r) = rec
+                 esc_mu_r, ffs_mu_r) = rec[:-1]
             else:
-                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec[:-1]
             is_ffs = s.phase == FFS
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
 
@@ -891,6 +950,9 @@ def make_fly_uniform_sphere(cfg: ResolvedConfig, meta: GridMeta):
             ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
             if save_Jmu:
                 ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+            oor_r = oor_r \
+                + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
+                + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
             wgt1 = 1.0 - jnp.exp(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
@@ -934,7 +996,7 @@ def make_fly_uniform_sphere(cfg: ResolvedConfig, meta: GridMeta):
                     s.tau_target),
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
-                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ()) + (oor_r,)
             return s2, rec2, n + 1
 
         B = state.x.shape[0]
@@ -943,9 +1005,11 @@ def make_fly_uniform_sphere(cfg: ResolvedConfig, meta: GridMeta):
         if save_Jmu:
             rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
                            jnp.zeros((B,), jnp.int32))
+        rec0 = rec0 + (jnp.zeros((B,), jnp.float32),)   # out-of-range wgt
         state, rec, _ = jax.lax.while_loop(
             cond, body, (state, rec0, jnp.int32(0)))
         esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        tallies = tallies._replace(W_oor=tallies.W_oor + jnp.sum(rec[-1]))
         Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
         tallies = tallies._replace(Jout=Jout)
         if save_Jmu:
@@ -1065,11 +1129,12 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                 esc_b2_r, esc_wall_r = b2c
             if meta.atmosphere:
                 ab2_ix_r, ab2_w_r = ab2
+            oor_r = rec[-1]
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
-                 esc_mu_r, ffs_mu_r) = rec
+                 esc_mu_r, ffs_mu_r) = rec[:-1]
             else:
-                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec[:-1]
             is_ffs = s.phase == FFS
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
 
@@ -1232,6 +1297,8 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                                      jnp.clip(ix, 0, meta.nxfreq - 1),
                                      ab2_ix_r)
                 ab2_w_r = jnp.where(rec_a, s.wgt, ab2_w_r)
+                oor_r = oor_r + jnp.where(
+                    jnp.logical_and(dest2, ~in_rng), s.wgt, 0.0)
             rec_e = jnp.logical_and(esc_fly, in_rng)
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)
@@ -1260,6 +1327,9 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
             ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
             if save_Jmu:
                 ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+            oor_r = oor_r \
+                + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
+                + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
             wgt1 = 1.0 - jnp.exp(-tau0)
             # degenerate birth in vacuum: tau0 == 0 -> photon escapes freely
@@ -1310,7 +1380,7 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                     s.tau_target),
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
-                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ()) + (oor_r,)
             ab2_out = (ab2_ix_r, ab2_w_r) if meta.atmosphere else ab2
             b2_out = (esc_b2_r, esc_wall_r) if lt8 else b2c
             if save_allph:
@@ -1330,6 +1400,7 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
         if save_Jmu:
             rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
                            jnp.zeros((B,), jnp.int32))
+        rec0 = rec0 + (jnp.zeros((B,), jnp.float32),)   # out-of-range wgt
         J1_0 = tallies.J1 if tallies.J1 is not None \
             else jnp.zeros((1,), jnp.float32)
         Pn_0 = tallies.Pnew if tallies.Pnew is not None \
@@ -1359,6 +1430,7 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
         if tallies.Pnew is not None:
             tallies = tallies._replace(Pnew=Pn_f)
         esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        tallies = tallies._replace(W_oor=tallies.W_oor + jnp.sum(rec[-1]))
         if lt8:
             Jout = tallies.Jout.at[esc_ix].add(
                 jnp.where(esc_b2, 0.0, esc_w)).at[ffs_ix].add(ffs_w)
@@ -1421,11 +1493,12 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
                 ab2_ix_r, ab2_w_r = ab2
             if save_allph:
                 ap_died_r, ap_xf2_r = apr
+            oor_r = rec[-1]
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
-                 esc_mu_r, ffs_mu_r) = rec
+                 esc_mu_r, ffs_mu_r) = rec[:-1]
             else:
-                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec[:-1]
             is_ffs = s.phase == FFS
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
 
@@ -1556,6 +1629,8 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
                                      jnp.clip(ix, 0, meta.nxfreq - 1),
                                      ab2_ix_r)
                 ab2_w_r = jnp.where(rec_a, s.wgt, ab2_w_r)
+                oor_r = oor_r + jnp.where(
+                    jnp.logical_and(dest2, ~in_rng), s.wgt, 0.0)
             rec_e = jnp.logical_and(esc_fly, in_rng)
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)
@@ -1582,6 +1657,9 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
             ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
             if save_Jmu:
                 ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+            oor_r = oor_r \
+                + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
+                + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
             wgt1 = 1.0 - jnp.exp(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
@@ -1613,7 +1691,7 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
                     s.tau_target),
             )
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
-                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ()) + (oor_r,)
             ab2_out = (ab2_ix_r, ab2_w_r) if meta.atmosphere else ab2
             b2_out = (esc_b2_r, esc_wall_r) if lt8 else b2c
             if save_allph:
@@ -1633,6 +1711,7 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
         if save_Jmu:
             rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
                            jnp.zeros((B,), jnp.int32))
+        rec0 = rec0 + (jnp.zeros((B,), jnp.float32),)   # out-of-range wgt
         J1_0 = tallies.J1 if tallies.J1 is not None \
             else jnp.zeros((1,), jnp.float32)
         Pn_0 = tallies.Pnew if tallies.Pnew is not None \
@@ -1662,6 +1741,7 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
         if tallies.Pnew is not None:
             tallies = tallies._replace(Pnew=Pn_f)
         esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        tallies = tallies._replace(W_oor=tallies.W_oor + jnp.sum(rec[-1]))
         if lt8:
             Jout = tallies.Jout.at[esc_ix].add(
                 jnp.where(esc_b2, 0.0, esc_w)).at[ffs_ix].add(ffs_w)
@@ -3053,11 +3133,12 @@ def make_fly_clump_dense(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             rec, apr = recs
             if save_allph:
                 ap_died_r, ap_xf2_r = apr
+            oor_r = rec[-1]
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
-                 esc_mu_r, ffs_mu_r) = rec
+                 esc_mu_r, ffs_mu_r) = rec[:-1]
             else:
-                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec[:-1]
             is_ffs = s.phase == FFS
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
 
@@ -3105,6 +3186,9 @@ def make_fly_clump_dense(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
             if save_Jmu:
                 ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+            oor_r = oor_r \
+                + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
+                + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
             wgt1 = 1.0 - jnp.exp(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
@@ -3134,7 +3218,7 @@ def make_fly_clump_dense(cfg: ResolvedConfig, meta: GridMeta, cmeta):
                                * wgt1),
                     s.tau_target))
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
-                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ()) + (oor_r,)
             if save_allph:
                 newly_dead = jnp.logical_and(
                     moving, jnp.logical_or(esc_fly, ffs_vacuum))
@@ -3151,6 +3235,7 @@ def make_fly_clump_dense(cfg: ResolvedConfig, meta: GridMeta, cmeta):
         if save_Jmu:
             rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
                            jnp.zeros((B,), jnp.int32))
+        rec0 = rec0 + (jnp.zeros((B,), jnp.float32),)   # out-of-range wgt
         ap_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32)) \
             if save_allph else ()
         state, recs, _ = jax.lax.while_loop(
@@ -3161,6 +3246,7 @@ def make_fly_clump_dense(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             tallies = tallies._replace(allph=allph_record_death(
                 par, tallies.allph, state, ap_died, ap_xf2))
         esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        tallies = tallies._replace(W_oor=tallies.W_oor + jnp.sum(rec[-1]))
         Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
         tallies = tallies._replace(Jout=Jout)
         if save_Jmu:
@@ -3376,11 +3462,12 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             rec, (esc_b2_r, esc_wall_r), apr = recs
             if save_allph:
                 ap_died_r, ap_xf2_r = apr
+            oor_r = rec[-1]
             if save_Jmu:
                 (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r,
-                 esc_mu_r, ffs_mu_r) = rec
+                 esc_mu_r, ffs_mu_r) = rec[:-1]
             else:
-                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec
+                esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r = rec[:-1]
             is_ffs = s.phase == FFS
             moving = jnp.logical_or(s.phase == FLYING, is_ffs)
             inside = s.ic >= 0
@@ -3445,6 +3532,8 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
                                      jnp.clip(ix, 0, meta.nxfreq - 1),
                                      ab2_ix_r)
                 ab2_w_r = jnp.where(rec_a, s.wgt, ab2_w_r)
+                oor_r = oor_r + jnp.where(
+                    jnp.logical_and(dest2, ~in_rng), s.wgt, 0.0)
             rec_e = jnp.logical_and(esc_fly, in_rng)
             esc_ix_r = jnp.where(rec_e, jnp.clip(ix, 0, meta.nxfreq - 1),
                                  esc_ix_r)
@@ -3463,6 +3552,9 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             ffs_w_r = jnp.where(rec_f, wgt_esc, ffs_w_r)
             if save_Jmu:
                 ffs_mu_r = jnp.where(rec_f, mu_bin(s.bkz), ffs_mu_r)
+            oor_r = oor_r \
+                + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
+                + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
             wgt1 = 1.0 - jnp.exp(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
@@ -3492,7 +3584,7 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
                                * wgt1),
                     s.tau_target))
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
-                (esc_mu_r, ffs_mu_r) if save_Jmu else ())
+                (esc_mu_r, ffs_mu_r) if save_Jmu else ()) + (oor_r,)
             if save_allph:
                 # escape / FFS-vacuum death rows (all_photons table;
                 # reference output_sum_rect.f90:129-146)
@@ -3510,6 +3602,7 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
         if save_Jmu:
             rec0 = rec0 + (jnp.zeros((B,), jnp.int32),
                            jnp.zeros((B,), jnp.int32))
+        rec0 = rec0 + (jnp.zeros((B,), jnp.float32),)   # out-of-range wgt
         b2_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32))
         ap_0 = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32)) \
             if save_allph else ()
@@ -3521,6 +3614,7 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
             tallies = tallies._replace(allph=allph_record_death(
                 par, tallies.allph, state, ap_died, ap_xf2))
         esc_ix, esc_w, ffs_ix, ffs_w = rec[:4]
+        tallies = tallies._replace(W_oor=tallies.W_oor + jnp.sum(rec[-1]))
         Jout = tallies.Jout.at[esc_ix].add(esc_w).at[ffs_ix].add(ffs_w)
         tallies = tallies._replace(Jout=Jout)
         if save_Jmu:

@@ -134,19 +134,20 @@ def main():
     # Generation-bound (<N_scatt> ~ 1e-3/photon): the honest metric is
     # photons/s.  Reference anchor: examples/FeII_test/out.txt, 1e8 photons
     # in 4.149 min on 4 nodes x 72 ranks (run.sh) => 1395 photons/s/rank.
-    # fly_substeps=32: the wall is FFS/escape flights crossing the whole
-    # 65^3 grid (~100 DDA steps), so long fly bursts amortize cycle cost.
     rows.append(bench_config('feii_uv1_dust', Params(
         line_id='FeII_2600', temperature=1e4, taumax=10.0, DGR=3e-4,
         geometry='sphere', rmax=1.0, nx=65, ny=65, nz=65,
         velocity_type='hubble', Vexp=300.0,
-        spectral_type='voigt', source_geometry='point',
-        **{**engine_kw, 'fly_substeps': 32, 'scatter_rounds': 2}),
+        spectral_type='voigt', source_geometry='point', **engine_kw),
         ref_photon_rate=1.0e8 / (4.149 * 60.0) / 288.0))
     _flush(payload)
 
     # 5. octree-AMR sphere (examples/amr_sphere); measures the
-    # neighbor-walk gather kernel (VERDICT round-1 item 10)
+    # flattened finest-level lookup traversal (grid/octree.build_fine_map;
+    # one gather per hop vs neighbor + octant descent -- 14.5x measured,
+    # logs/bench_amr_fine.log).  fly_substeps=1: at tau0=1e4 most flights
+    # are sub-cell, so extra DDA substeps are masked waste (same result as
+    # the generic-slab sweep, results/bench_sweep.json).
     import tempfile
     from lart_tpu.grid.amr import make_amr_sphere, write_generic_amr
     data = make_amr_sphere(n_base=32, levels_extra=2, rmax=1.0, T=1e4)
@@ -156,7 +157,8 @@ def main():
         rows.append(bench_config('amr_sphere_tau1e4', Params(
             use_amr_grid=True, amr_file=path, geometry='sphere',
             taumax=1e4, temperature=1e4, rmax=1.0, core_skip=True,
-            spectral_type='voigt', source_geometry='point', **engine_kw)))
+            spectral_type='voigt', source_geometry='point',
+            **{**engine_kw, 'fly_substeps': 1})))
     _flush(payload)
 
     payload['peel_kernel_share'] = peel_share

@@ -54,6 +54,48 @@ CURATED = [
      'octree AMR'),
     ('rotating_solid_body', None, 2000, {}, 'rotating velocity model'),
     ('tigress_shear', None, 1000, {}, 'shearing box'),
+    # --- round-5 breadth (VERDICT r4 item 9): examples with committed
+    # reference logs/READMEs that previously had configs but no run row
+    ('FeII_test', 'FeII_UV1.in', 4000, {},
+     'FeII UV1; ref log <N_ev>=1.0053 (see results/reconcile_logs.json)'),
+    ('SiII_1527', 't1e5tau1e0.in', 4000, {},
+     'SiII 1527 + fluorescence; ref log <N_ev>=1.0570'),
+    ('HeI_coherent_test', 'pt_tau10_coh.in', 2000, {},
+     'HeI coherent E1/E3 weights (A)'),
+    ('HeI_coherent_test', 'pt_tau10_inc.in', 2000, {},
+     'incoherent control (B); A/B spectral difference is maximal at '
+     'tau~1-10 per the reference README'),
+    ('HeI_sphere_cont', 't4tau2.in', 2000, {},
+     'HeI continuum source'),
+    ('bicone', 'bicone_amr.in', 1500,
+     {'_pre': [sys.executable, 'mk_amr.py']},
+     'biconical outflow, octree AMR'),
+    ('bicone', 'bicone_clump.in', 1500, {},
+     'same bicone as clumps (reference examples/bicone amr-vs-clump '
+     'parity pair)'),
+    ('sightline_tau', 'sightline_car.in', 1000, {},
+     'sight-line tau/N maps, external TAN observer'),
+    ('sightline_tau', 'sightline_inside.in', 1000, {},
+     'sight-line tau maps, inside HEALPix observer'),
+    ('star_planet', 'star_planet.in', 2000, {},
+     'exoplanet stellar illumination (plane-parallel atmosphere)'),
+    ('atmosphere', 'wasp52b_like.in', 2000, {},
+     'WASP-52b-like spherical atmosphere + Jabs2'),
+    ('ly_beta_sphere', 't4tau1e4.in', 1000, {},
+     'Ly-beta multiband -> Halpha conversion + two-photon'),
+    ('ly_beta_sphere', 't4tau1e4_dust.in', 1000, {},
+     'Ly-beta with dust: W_esc/W_abs/W_conv budget'),
+    ('pol_animation', 't1tau3_cub111.in', 1000, {},
+     'Stokes peel cube (polarization animation config)'),
+    ('vel_effect_peel', None, 1000, {},
+     'velocity-field slab + peel'),
+    ('sphere_peel', 't4tau4_peel.in', 1000, {},
+     'sphere + 129^2 Stokes peel (reference sphere_peel example)'),
+    ('Prochaska', 'MgII_a.in', 2000, {},
+     'Prochaska+2011-style cool wind (mk_model.py density cube)'),
+    ('jellyfish_rmhd', 'jellyfish_pt.in', 1000,
+     {'_pre': [sys.executable, 'mk_amr.py']},
+     'RMHD jellyfish galaxy AMR (committed h5 snapshot)'),
 ]
 
 
@@ -125,11 +167,15 @@ def run_one(d, name, nph, overrides):
     esc = res.W_escape
     absd = res.W_absorb
     lyb = res.W_esc2 + res.W_abs2 if res.Jout_Ha is not None else 0.0
-    budget = esc + absd + lyb + res.W_H2abs
+    # W_oor: escape weight outside the xfreq grid (dropped from Jout like
+    # the reference does) -- tallied explicitly so strong velocity fields
+    # close the budget exactly instead of "legitimately a bit low"
+    budget = esc + absd + lyb + res.W_H2abs + res.W_oor
     out = {'example': d, 'namelist': os.path.basename(path),
            'status': 'ok', 'nphotons': par.nphotons,
            'nscatt': float(res.nscatt_tot), 'escaped': esc,
-           'absorbed': absd, 'budget': budget, 'wall_s': round(wall, 1)}
+           'absorbed': absd, 'W_oor': res.W_oor, 'budget': budget,
+           'wall_s': round(wall, 1)}
     if tau_override is not None:
         out['tau_override'] = tau_override
     print(json.dumps(out), flush=True)
@@ -201,6 +247,12 @@ def main():
         fh.write('\n'.join(lines) + '\n')
     bad = [r for r in rows if r['status'] != 'ok'
            or abs(r['budget'] - 1) > 0.05]
+    # name every flagged row explicitly -- a nonzero exit with an
+    # all-green RUNLOG is exactly the silent truncation the round-4
+    # review flagged
+    for r in bad:
+        print(f"FLAGGED: {r['example']}/{r.get('namelist')}: "
+              f"status={r['status']} budget={r.get('budget')}", flush=True)
     print(f"wrote examples/RUNLOG.md ({len(rows)} rows, "
           f"{len(bad)} flagged)", flush=True)
     return 1 if bad else 0
