@@ -33,6 +33,10 @@ class Params:
     nphotons: int = 100_000
     no_photons: float = 1e5          # namelist alias (float form)
     nprint: int = 10_000_000
+    # reference MPI master-worker chunk size (run_simulation_mod.f90:30-64);
+    # accepted for namelist compatibility, meaningless for the batch engine
+    num_send_at_once: int = 100
+    use_master_slave: bool = True
     iseed: int = 0
     luminosity: float = 1.0
 

@@ -218,11 +218,16 @@ def build_fine_map(tree: HostOctree, limit: int = 34_000_000):
         return None
     xmin, _, ymin, _, zmin, _ = tree.box
     dxf = 2.0 * tree.ch[0] / nf
-    childless = np.where((tree.children < 0).all(axis=1))[0]
     fm = np.full((nf, nf, nf), -1, np.int32)
-    lev = tree.level[childless]
-    for L in np.unique(lev)[::-1]:
-        ids = childless[lev == L]
+    # paint EVERY node's extent, coarse level first, so each voxel ends up
+    # owned by the DEEPEST node covering it.  That is exactly the octant
+    # descent's answer, including gaps: a point in a missing octant of an
+    # internal node resolves to that node itself (octree_mod.f90:210,771),
+    # and here the internal node's paint simply survives un-overwritten.
+    order = np.argsort(tree.level, kind='stable')
+    lev_sorted = tree.level[order]
+    for L in np.unique(lev_sorted):
+        ids = order[lev_sorted == L]
         w = 1 << (tree.levelmax - int(L))
         i0 = np.rint((tree.cx[ids] - tree.ch[ids] - xmin) / dxf) \
             .astype(np.int64)
@@ -236,6 +241,7 @@ def build_fine_map(tree: HostOctree, limit: int = 34_000_000):
             for m, idx in enumerate(ids):
                 fm[i0[m]:i0[m] + w, j0[m]:j0[m] + w,
                    k0[m]:k0[m] + w] = idx
+    assert (fm >= 0).all()
     return fm
 
 

@@ -779,7 +779,14 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
                 + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
                 + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
-            wgt1 = 1.0 - jnp.exp(-tau0)
+            # expm1, not 1-exp: for tau0 ~ 1e-7 the f32 rounding of
+            # exp(-tau0) near 1 can make (1 - exp(-tau0)) EXCEED tau0,
+            # putting the forced-scatter target beyond the total optical
+            # depth of the birth ray -- the photon then escapes without
+            # its forced scattering (measured on far-wing continuum
+            # photons; expm1 keeps wgt1 <= tau0*(1+eps) so the xi clamp
+            # margin guarantees the hit)
+            wgt1 = -jnp.expm1(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
             phase_new = jnp.where(
                 esc_fly, DEAD,
@@ -804,7 +811,16 @@ def make_fly_uniform_slab(cfg: ResolvedConfig, meta: GridMeta):
                                   jnp.where(moving, tau_n, s.tau_run)),
                 tau_target=jnp.where(
                     ffs_done,
-                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                    # xi clamp margin 1e-5: the restarted flight
+                    # re-accumulates tau0 in f32, so the forced-scatter
+                    # target must sit below it by more than the f32
+                    # accumulation error (~2e-7 rel) or far-wing photons
+                    # escape without their forced scattering (measured:
+                    # 37% of continuum photons on TPU at tau0 ~ 1e-7;
+                    # the reference never sees this in f64).  The
+                    # truncation moves the top 1e-5 quantile of the
+                    # forced-scatter depth -- invisible vs MC noise.
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.99999)
                                * wgt1),
                     s.tau_target),
             )
@@ -954,7 +970,14 @@ def make_fly_uniform_sphere(cfg: ResolvedConfig, meta: GridMeta):
                 + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
                 + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
-            wgt1 = 1.0 - jnp.exp(-tau0)
+            # expm1, not 1-exp: for tau0 ~ 1e-7 the f32 rounding of
+            # exp(-tau0) near 1 can make (1 - exp(-tau0)) EXCEED tau0,
+            # putting the forced-scatter target beyond the total optical
+            # depth of the birth ray -- the photon then escapes without
+            # its forced scattering (measured on far-wing continuum
+            # photons; expm1 keeps wgt1 <= tau0*(1+eps) so the xi clamp
+            # margin guarantees the hit)
+            wgt1 = -jnp.expm1(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
             phase_new = jnp.where(
                 esc_fly, DEAD,
@@ -991,7 +1014,16 @@ def make_fly_uniform_sphere(cfg: ResolvedConfig, meta: GridMeta):
                                   jnp.where(moving, tau_n, s.tau_run)),
                 tau_target=jnp.where(
                     ffs_done,
-                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                    # xi clamp margin 1e-5: the restarted flight
+                    # re-accumulates tau0 in f32, so the forced-scatter
+                    # target must sit below it by more than the f32
+                    # accumulation error (~2e-7 rel) or far-wing photons
+                    # escape without their forced scattering (measured:
+                    # 37% of continuum photons on TPU at tau0 ~ 1e-7;
+                    # the reference never sees this in f64).  The
+                    # truncation moves the top 1e-5 quantile of the
+                    # forced-scatter depth -- invisible vs MC noise.
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.99999)
                                * wgt1),
                     s.tau_target),
             )
@@ -1331,7 +1363,14 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                 + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
                 + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
-            wgt1 = 1.0 - jnp.exp(-tau0)
+            # expm1, not 1-exp: for tau0 ~ 1e-7 the f32 rounding of
+            # exp(-tau0) near 1 can make (1 - exp(-tau0)) EXCEED tau0,
+            # putting the forced-scatter target beyond the total optical
+            # depth of the birth ray -- the photon then escapes without
+            # its forced scattering (measured on far-wing continuum
+            # photons; expm1 keeps wgt1 <= tau0*(1+eps) so the xi clamp
+            # margin guarantees the hit)
+            wgt1 = -jnp.expm1(-tau0)
             # degenerate birth in vacuum: tau0 == 0 -> photon escapes freely
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
 
@@ -1375,7 +1414,16 @@ def make_fly(cfg: ResolvedConfig, meta: GridMeta, cmeta=None):
                 # pre-drawn uniform: tau = -log(1 - xi * wgt1)
                 tau_target=jnp.where(
                     ffs_done,
-                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                    # xi clamp margin 1e-5: the restarted flight
+                    # re-accumulates tau0 in f32, so the forced-scatter
+                    # target must sit below it by more than the f32
+                    # accumulation error (~2e-7 rel) or far-wing photons
+                    # escape without their forced scattering (measured:
+                    # 37% of continuum photons on TPU at tau0 ~ 1e-7;
+                    # the reference never sees this in f64).  The
+                    # truncation moves the top 1e-5 quantile of the
+                    # forced-scatter depth -- invisible vs MC noise.
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.99999)
                                * wgt1),
                     s.tau_target),
             )
@@ -1661,7 +1709,14 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
                 + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
                 + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
-            wgt1 = 1.0 - jnp.exp(-tau0)
+            # expm1, not 1-exp: for tau0 ~ 1e-7 the f32 rounding of
+            # exp(-tau0) near 1 can make (1 - exp(-tau0)) EXCEED tau0,
+            # putting the forced-scatter target beyond the total optical
+            # depth of the birth ray -- the photon then escapes without
+            # its forced scattering (measured on far-wing continuum
+            # photons; expm1 keeps wgt1 <= tau0*(1+eps) so the xi clamp
+            # margin guarantees the hit)
+            wgt1 = -jnp.expm1(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
             phase_new = jnp.where(
                 esc_fly, DEAD,
@@ -1686,7 +1741,16 @@ def make_fly_amr(cfg: ResolvedConfig, meta: GridMeta):
                                   jnp.where(moving, tau_n, s.tau_run)),
                 tau_target=jnp.where(
                     ffs_done,
-                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                    # xi clamp margin 1e-5: the restarted flight
+                    # re-accumulates tau0 in f32, so the forced-scatter
+                    # target must sit below it by more than the f32
+                    # accumulation error (~2e-7 rel) or far-wing photons
+                    # escape without their forced scattering (measured:
+                    # 37% of continuum photons on TPU at tau0 ~ 1e-7;
+                    # the reference never sees this in f64).  The
+                    # truncation moves the top 1e-5 quantile of the
+                    # forced-scatter depth -- invisible vs MC noise.
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.99999)
                                * wgt1),
                     s.tau_target),
             )
@@ -3190,7 +3254,14 @@ def make_fly_clump_dense(cfg: ResolvedConfig, meta: GridMeta, cmeta):
                 + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
                 + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
-            wgt1 = 1.0 - jnp.exp(-tau0)
+            # expm1, not 1-exp: for tau0 ~ 1e-7 the f32 rounding of
+            # exp(-tau0) near 1 can make (1 - exp(-tau0)) EXCEED tau0,
+            # putting the forced-scatter target beyond the total optical
+            # depth of the birth ray -- the photon then escapes without
+            # its forced scattering (measured on far-wing continuum
+            # photons; expm1 keeps wgt1 <= tau0*(1+eps) so the xi clamp
+            # margin guarantees the hit)
+            wgt1 = -jnp.expm1(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
             phase_new = jnp.where(
                 esc_fly, DEAD,
@@ -3214,7 +3285,16 @@ def make_fly_clump_dense(cfg: ResolvedConfig, meta: GridMeta, cmeta):
                                   jnp.where(moving, tgt, s.tau_run)),
                 tau_target=jnp.where(
                     ffs_done,
-                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                    # xi clamp margin 1e-5: the restarted flight
+                    # re-accumulates tau0 in f32, so the forced-scatter
+                    # target must sit below it by more than the f32
+                    # accumulation error (~2e-7 rel) or far-wing photons
+                    # escape without their forced scattering (measured:
+                    # 37% of continuum photons on TPU at tau0 ~ 1e-7;
+                    # the reference never sees this in f64).  The
+                    # truncation moves the top 1e-5 quantile of the
+                    # forced-scatter depth -- invisible vs MC noise.
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.99999)
                                * wgt1),
                     s.tau_target))
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
@@ -3556,7 +3636,14 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
                 + jnp.where(jnp.logical_and(esc_fly, ~in_rng), s.wgt, 0.0) \
                 + jnp.where(jnp.logical_and(ffs_done, ~inb), wgt_esc, 0.0)
 
-            wgt1 = 1.0 - jnp.exp(-tau0)
+            # expm1, not 1-exp: for tau0 ~ 1e-7 the f32 rounding of
+            # exp(-tau0) near 1 can make (1 - exp(-tau0)) EXCEED tau0,
+            # putting the forced-scatter target beyond the total optical
+            # depth of the birth ray -- the photon then escapes without
+            # its forced scattering (measured on far-wing continuum
+            # photons; expm1 keeps wgt1 <= tau0*(1+eps) so the xi clamp
+            # margin guarantees the hit)
+            wgt1 = -jnp.expm1(-tau0)
             ffs_vacuum = jnp.logical_and(ffs_done, tau0 <= 0.0)
             phase_new = jnp.where(
                 esc_fly, DEAD,
@@ -3580,7 +3667,16 @@ def make_fly_clump(cfg: ResolvedConfig, meta: GridMeta, cmeta):
                                   jnp.where(moving, tau_n, s.tau_run)),
                 tau_target=jnp.where(
                     ffs_done,
-                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.9999999)
+                    # xi clamp margin 1e-5: the restarted flight
+                    # re-accumulates tau0 in f32, so the forced-scatter
+                    # target must sit below it by more than the f32
+                    # accumulation error (~2e-7 rel) or far-wing photons
+                    # escape without their forced scattering (measured:
+                    # 37% of continuum photons on TPU at tau0 ~ 1e-7;
+                    # the reference never sees this in f64).  The
+                    # truncation moves the top 1e-5 quantile of the
+                    # forced-scatter depth -- invisible vs MC noise.
+                    -jnp.log1p(-jnp.minimum(s.tau_target, 0.99999)
                                * wgt1),
                     s.tau_target))
             rec2 = (esc_ix_r, esc_w_r, ffs_ix_r, ffs_w_r) + (
