@@ -33,12 +33,18 @@ def main():
     n_dev = len(jax.devices())
 
     def measure(force_generic):
+        # generic path runs at fly_substeps=1: at tau0=1e6 flights are
+        # sub-cell, so extra masked DDA substeps are pure waste (swept on
+        # the TPU: results/bench_sweep.json, f1_s4 = 2.5x f8_s4); the
+        # analytic fast path resolves whole flights per step and is
+        # insensitive to the knob.
         par = Params(
             nphotons=1_000_000_000, temperature=1e4, taumax=1e6,
             xy_periodic=True, nx=1, ny=1, nz=201,
             spectral_type='voigt', source_geometry='point',
             force_generic_kernel=force_generic,
-            batch_size=1 << 17, fly_substeps=8, scatter_rounds=4,
+            batch_size=1 << 17,
+            fly_substeps=1 if force_generic else 8, scatter_rounds=4,
             chunk_cycles=32, refill_every=4)
         cfg = par.resolve()
         meta, grid = build_cartesian(cfg)

@@ -546,6 +546,13 @@ def resolve(par: Params) -> ResolvedConfig:
             else min(par.xmax, par.ymax, par.zmax)
         par = dataclasses.replace(par, source_rmax=srm)
 
+    # SSH galaxy model (Song, Seon & Hwang 2020): exponential (m=1)
+    # Sersic with Reff fixed by the scale length (setup.f90:461-466)
+    if par.source_geometry.strip().lower() == 'ssh':
+        par = dataclasses.replace(
+            par, sersic_m=1.0,
+            Reff=1.67834607093866 * par.source_rscale)
+
     # symmetric box centered at origin unless symmetry folds it
     def axis(nmax, n, sym):
         if sym:
