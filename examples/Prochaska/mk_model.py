@@ -12,7 +12,8 @@ import numpy as np
 
 def make_dens(fname, n0=0.1, abund=10.0 ** (-5.47), rinner=1.0,
               router=20.0, n=150):
-    from astropy.io import fits
+    # the framework's own FITS codec (astropy is not required anywhere)
+    from lart_tpu.io.minifits import HDU, write_hdus
     nion0 = abund * n0
     ax = (np.arange(n) + 0.5) / (n / 2.0) * router - router
     X, Y, Zc = np.meshgrid(ax, ax, ax, indexing='ij')
@@ -21,7 +22,7 @@ def make_dens(fname, n0=0.1, abund=10.0 ** (-5.47), rinner=1.0,
     shell = (r >= rinner) & (r <= router)
     dens[shell] = nion0 * (rinner / r[shell]) ** 2
     # (nx,ny,nz) -> on-disk (nz,ny,nx)
-    fits.PrimaryHDU(dens.T).writeto(fname, overwrite=True)
+    write_hdus(fname, [HDU(data=dens.T)])
     print(f'wrote {fname}  (n={n}, n_ion0={nion0:.3e})')
 
 

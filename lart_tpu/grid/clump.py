@@ -238,21 +238,38 @@ def build_clumps(cfg: ResolvedConfig, seed: int = 1234):
     r_max_cl = float(radius.max())
     cg_n = int(np.clip(math.floor(2 * R / (2 * r_max_cl)), 4, 192))
     cg_dx = 2 * R / cg_n
-    lists = [[] for _ in range(cg_n ** 3)]
-    for icl in range(N):
-        rc = radius[icl]
-        lo = np.clip(np.floor((pos[icl] - rc + R) / cg_dx).astype(int),
-                     0, cg_n - 1)
-        hi = np.clip(np.floor((pos[icl] + rc + R) / cg_dx).astype(int),
-                     0, cg_n - 1)
-        for i in range(lo[0], hi[0] + 1):
-            for j in range(lo[1], hi[1] + 1):
-                for k in range(lo[2], hi[2] + 1):
-                    lists[(i * cg_n + j) * cg_n + k].append(icl)
-    K = max(1, max(len(l) for l in lists))
+    # vectorized (cell, clump) pair enumeration: per-axis lo/hi cell of
+    # each clump's bounding box, then one pass per offset in the (small)
+    # span box -- cg_dx >= 2 r_max by construction so the span is almost
+    # always 2 cells/axis (a 1.3e6-clump population builds in seconds;
+    # the per-clump Python loop this replaces took tens of minutes)
+    lo = np.clip(np.floor((pos - radius[:, None] + R) / cg_dx), 0,
+                 cg_n - 1).astype(np.int64)
+    hi = np.clip(np.floor((pos + radius[:, None] + R) / cg_dx), 0,
+                 cg_n - 1).astype(np.int64)
+    span = hi - lo
+    smax = span.max(axis=0) if N else np.zeros(3, np.int64)
+    cells_l, clumps_l = [], []
+    ids = np.arange(N, dtype=np.int64)
+    for di in range(int(smax[0]) + 1):
+        for dj in range(int(smax[1]) + 1):
+            for dk in range(int(smax[2]) + 1):
+                ok = (di <= span[:, 0]) & (dj <= span[:, 1]) \
+                    & (dk <= span[:, 2])
+                cell = ((lo[ok, 0] + di) * cg_n + (lo[ok, 1] + dj)) \
+                    * cg_n + (lo[ok, 2] + dk)
+                cells_l.append(cell)
+                clumps_l.append(ids[ok])
+    cells = np.concatenate(cells_l) if cells_l else np.zeros(0, np.int64)
+    clumps = np.concatenate(clumps_l) if clumps_l else np.zeros(0, np.int64)
+    order = np.argsort(cells, kind='stable')
+    cells, clumps = cells[order], clumps[order]
+    counts = np.bincount(cells, minlength=cg_n ** 3)
+    K = max(1, int(counts.max())) if counts.size else 1
     table = np.full((cg_n ** 3, K), -1, np.int32)
-    for ci, l in enumerate(lists):
-        table[ci, :len(l)] = l
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(cells.size) - starts[cells]
+    table[cells, slot] = clumps
 
     rhokapD = None
     if par.DGR > 0:

@@ -99,7 +99,10 @@ CASES = [
                                core_skip=True),
          note='committed log is the AMR twin (amr input file not '
               'committed); Cartesian 801^3 namelist scaled to nx=201 '
-              'like nx201/ variant',
+              'like nx201/ variant.  Recorded from the 8-device CPU '
+              'mesh: this config reproducibly trips an axon-TPU kernel '
+              'fault (3x; other 201^3 velocity-field cases run fine '
+              'there) -- tracked as an open item',
          over2=dict(nx=201, ny=201, nz=201)),
     dict(name='clump_fcov1', nml=f'{REF}/clump_sphere/clump_NHI18_fcov1.in',
          ref_N=4345.4, ref_nph=1e6, ref_wall_min=21.114, ref_ranks=216,
@@ -156,6 +159,46 @@ def run_case(c, scale):
     return row
 
 
+def write_markdown(rows):
+    """results/RECONCILE.md: the committed-log reconciliation table."""
+    lines = [
+        '# Reconciliation against the reference\'s committed run logs',
+        '',
+        'Every runnable example with a committed reference log, rerun '
+        'from the *reference\'s own namelist* (scaled photon budget; '
+        '`tools/reconcile_logs.py`).  `N_ev` counts unweighted '
+        'scatter events -- the semantics of the 2022-2024 builds that '
+        'wrote the logs (one forced first scattering per photon, '
+        'run_simulation_mod.f90:84 commented-out nscatt==0 test); '
+        '`N_w` is the weight-counting of the current reference source '
+        '(scattering_car.f90:164).  A case agrees when either counter '
+        'matches the committed value within 5%.',
+        '',
+        '| case | committed <N> | N_ev (this) | N_ev/ref | N_w (this) | '
+        'agrees | note |',
+        '|---|---|---|---|---|---|---|',
+    ]
+    for r in rows:
+        if 'error' in r:
+            lines.append(f"| {r['case']} | - | - | - | - | ERROR | "
+                         f"{r['error'][:80]} |")
+            continue
+        lines.append(
+            f"| {r['case']} | {r['ref_N_scatt']:.5g} | "
+            f"{r['repo_N_events']:.5g} | {r['ratio_events']:.4f} | "
+            f"{r['repo_N_weighted']:.4g} | "
+            f"{'yes' if r['agrees'] else 'NO'} | {r.get('note', '')[:160]} |")
+    lines += [
+        '',
+        'The amr_sphere_generic logs (<N>=2.8225e4, AMR == Cartesian) are '
+        'reconciled separately in examples/RUNLOG.md (1.7% at 2k photons '
+        'since round 3).',
+    ]
+    path = os.path.join(os.path.dirname(OUT), 'RECONCILE.md')
+    with open(path, 'w') as fh:
+        fh.write('\n'.join(lines) + '\n')
+
+
 def main():
     scale = float(os.environ.get('LART_RECON_SCALE', '1.0'))
     want = [a for a in sys.argv[1:] if not a.startswith('-')]
@@ -177,6 +220,7 @@ def main():
         with open(OUT, 'w') as fh:
             json.dump({'doc': __doc__.split('Usage')[0], 'rows': rows},
                       fh, indent=1)
+        write_markdown(rows)
     n_ok = sum(1 for r in existing.values() if r.get('agrees'))
     print(f'{n_ok}/{len(existing)} cases agree; wrote {OUT}', flush=True)
 

@@ -121,13 +121,13 @@ def run_one(d, name, nph, overrides):
                   if f.endswith('.py') and (f.startswith('mk_')
                                             or f.startswith('generate_')))
     import subprocess
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(HERE), LART_CPU='1',
+               LART_ACCEPT_CPU='1')
     for gscript in gens:
         subprocess.run([sys.executable, gscript], cwd=full, check=False,
-                       timeout=120, stdout=subprocess.DEVNULL)
+                       timeout=300, env=env, stdout=subprocess.DEVNULL)
     pre = overrides.pop('_pre', None)
     if pre:
-        env = dict(os.environ, PYTHONPATH=os.path.dirname(HERE),
-                   LART_CPU='1')
         subprocess.run(pre, cwd=full, check=False, timeout=300,
                        env=env, stdout=subprocess.DEVNULL)
     path = find_namelist(d, name)
