@@ -119,7 +119,12 @@ def run_analytic_case(name, analytic, tau0, T, nphotons, *, geometry,
               batch_size=min(1 << 16,
                              1 << max(10, (nphotons - 1).bit_length())),
               fly_substeps=8,
-              scatter_rounds=4, chunk_cycles=64, refill_every=4,
+              # drain-dominated cases (wall ~ <N> x chunk latency /
+              # cycles-per-chunk through the tunneled runtime) want long
+              # chunks; 256 cycles amortizes the fixed per-chunk sync 4x
+              # better than round-4's 64 while staying well under the
+              # RPC timeout
+              scatter_rounds=4, chunk_cycles=256, refill_every=4,
               # mid-case device-state checkpoint: a tunnel wedge costs at
               # most ~4 chunks of compute instead of the whole case
               # (round-4 postmortem: one case lost 35 min to a 3x180 s
