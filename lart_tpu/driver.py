@@ -244,7 +244,19 @@ def run(par: Params, *, seed: Optional[int] = None,
         need a cross-process gather)."""
         nonlocal state, cur_B, boost
         if launched >= nphotons and alive > 0:
-            boost = int(np.clip((cur_B * n_dev) // max(alive, 1), 1, 256))
+            # scale from the ORIGINAL batch size: after a tail shrink the
+            # per-cycle cost drops by B/cur_B, so the chunk should hold
+            # proportionally MORE cycles to keep (lanes x cycles) per
+            # chunk -- and thus the sync-to-compute ratio -- constant.
+            # (Computing this from cur_B collapsed chunks back to ~1x
+            # boost right after the shrink and the deep tail went
+            # sync-bound again.)  Bound the TOTAL cycles of one device
+            # call: a lone straggler otherwise yields a ~1e6-cycle
+            # execution that trips the tunneled runtime's execution
+            # watchdog ("TPU device error", observed at alive=1).
+            cap = min(256 * max(B // cur_B, 1),
+                      max(32768 // max(par.chunk_cycles, 1), 1))
+            boost = int(np.clip((B * n_dev) // max(alive, 1), 1, cap))
         else:
             boost = 1
         if launched >= nphotons and jax.process_count() == 1:
