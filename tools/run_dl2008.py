@@ -53,7 +53,10 @@ def run_case(infile, nphotons, *, grid_scale=1.0, seed=11):
                           == 'global'),
         batch_size=min(1 << 16,
                        1 << max(12, (nphotons - 1).bit_length())),
-        chunk_cycles=32, out_file='')
+        # drain-dominated through the tunnel: long chunks amortize the
+        # host<->device round-trip (4x wall-time win measured on tau1e6)
+        chunk_cycles=int(os.environ.get('LART_DL2008_CHUNK_CYCLES', '256')),
+        out_file='')
     t0 = time.time()
     last = [0.0]
 
